@@ -1,0 +1,125 @@
+"""E(3)-equivariant graph network (EGNN), dense TPU formulation.
+
+Reference parity: ``pita/src/models/components/egnn_temp_conditioned.py``
+(EGNN of Satorras et al., EqFM variant): fully-connected particle graph, node
+features = time (+ beta when ``condition_temperature``), E_GCL layers with
+edge/node/coord MLPs, sigmoid attention gates, tanh-bounded coordinate updates
+with ``coords_range = 15 / n_layers``, sum aggregation, and mean-free output
+displacement (egnn_temp_conditioned.py:56-93,197-356).
+
+TPU-first design: the reference builds an explicit edge list and uses
+``scatter_add`` segment sums (egnn_temp_conditioned.py:359-365) — gather/
+scatter-heavy and hostile to XLA tiling. With N ≤ 55 particles a dense
+``(B, N, N, ·)`` formulation is strictly better on TPU: every edge MLP is a
+large batched matmul on the MXU, aggregation is a masked ``sum`` over one
+axis, and there is no dynamic indexing anywhere. The diagonal (self-edges) is
+masked out, matching the reference's i≠j edge set.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class EGCL(nn.Module):
+    """One dense E_GCL layer (reference egnn_temp_conditioned.py:197-356)."""
+
+    hidden_nf: int
+    attention: bool = True
+    tanh: bool = True
+    coords_range: float = 15.0
+    recurrent: bool = True
+
+    @nn.compact
+    def __call__(self, h, x, edge_attr, mask):
+        """h: (B,N,F), x: (B,N,D), edge_attr: (B,N,N,1), mask: (N,N) off-diagonal."""
+        B, N, F = h.shape
+        diff = x[:, :, None, :] - x[:, None, :, :]  # (B,N,N,D)
+        radial = jnp.sum(diff**2, axis=-1, keepdims=True)  # (B,N,N,1)
+        norm = jnp.sqrt(radial + 1e-8)
+        coord_diff = diff / (norm + 1.0)  # (:348-356)
+
+        h_i = jnp.broadcast_to(h[:, :, None, :], (B, N, N, F))
+        h_j = jnp.broadcast_to(h[:, None, :, :], (B, N, N, F))
+        edge_in = jnp.concatenate([h_i, h_j, radial, edge_attr], axis=-1)
+        m = nn.Dense(self.hidden_nf)(edge_in)
+        m = nn.silu(m)
+        m = nn.Dense(self.hidden_nf)(m)
+        m = nn.silu(m)  # edge_mlp (:232-237)
+        if self.attention:
+            att = nn.sigmoid(nn.Dense(1)(m))  # att_mlp (:259-260)
+            m = m * att
+        m = m * mask[None, :, :, None]
+
+        # coordinate update (:294-319): xavier(gain=0.001)-init final layer
+        cm = nn.silu(nn.Dense(self.hidden_nf)(m))
+        cm = nn.Dense(
+            1,
+            use_bias=False,
+            kernel_init=nn.initializers.variance_scaling(0.001**2 * 3.0, "fan_avg", "uniform"),
+        )(cm)
+        if self.tanh:
+            trans = coord_diff * jnp.tanh(cm) * self.coords_range
+        else:
+            trans = coord_diff * cm
+        trans = trans * mask[None, :, :, None]
+        x = x + jnp.sum(trans, axis=2)
+
+        # node update (:281-292)
+        agg = jnp.sum(m, axis=2)  # (B,N,hidden)
+        node_in = jnp.concatenate([h, agg], axis=-1)
+        out = nn.Dense(self.hidden_nf)(node_in)
+        out = nn.silu(out)
+        out = nn.Dense(F)(out)
+        if self.recurrent:
+            out = h + out
+        return out, x
+
+
+class EGNNBackbone(nn.Module):
+    """EGNN dynamics: forward(t, x_flat, beta) -> mean-free displacement.
+
+    Matches ``EGNN_dynamics.forward`` (egnn_temp_conditioned.py:56-93): node
+    features start as t (and beta), edge_attr is the squared distance of the
+    *input* coordinates (fixed across layers), output is x_final - x_input
+    with the per-sample mean removed.
+    """
+
+    n_particles: int
+    n_spatial_dim: int = 3
+    hidden_nf: int = 32
+    n_layers: int = 3
+    attention: bool = True
+    tanh: bool = True
+    condition_on_temperature: bool = True
+    coords_range: float = 15.0
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray, x: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+        B = x.shape[0]
+        N, D = self.n_particles, self.n_spatial_dim
+        xs = x.reshape(B, N, D)
+        t = jnp.broadcast_to(jnp.asarray(t, x.dtype).reshape(-1), (B,))
+        feats = [jnp.broadcast_to(t[:, None, None], (B, N, 1))]
+        if self.condition_on_temperature:
+            beta = jnp.broadcast_to(jnp.asarray(beta, x.dtype).reshape(-1), (B,))
+            feats.append(jnp.broadcast_to(beta[:, None, None], (B, N, 1)))
+        h = jnp.concatenate(feats, axis=-1)
+        h = nn.Dense(self.hidden_nf)(h)  # embedding (:152)
+
+        diff0 = xs[:, :, None, :] - xs[:, None, :, :]
+        edge_attr = jnp.sum(diff0**2, axis=-1, keepdims=True)  # (:79)
+        mask = 1.0 - jnp.eye(N, dtype=x.dtype)
+
+        coords_range_layer = self.coords_range / self.n_layers
+        xc = xs
+        for _ in range(self.n_layers):
+            h, xc = EGCL(
+                hidden_nf=self.hidden_nf,
+                attention=self.attention,
+                tanh=self.tanh,
+                coords_range=coords_range_layer,
+            )(h, xc, edge_attr, mask)
+
+        vel = xc - xs
+        vel = vel - jnp.mean(vel, axis=1, keepdims=True)  # (:84)
+        return vel.reshape(B, N * D)

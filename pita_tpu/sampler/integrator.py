@@ -1,0 +1,279 @@
+"""Weighted reverse-SDE integrator as a single ``lax.scan`` program.
+
+Reference parity: ``pita/src/models/components/sde_integration.py``
+(``WeightedSDEIntegrator``): a Python for-loop over 1000 Euler–Maruyama steps
+with per-step DDP sharding, per-step ``all_gather``, host-side ``np.digitize``
+resampling and tqdm — replaced here by one compiled scan:
+
+- per step: drift terms → EM update → mean-free projection → weight
+  accumulation gated by the [start, end) resampling window → branch-free
+  systematic resampling every ``resampling_interval`` steps,
+- optional final resample against the *true* target with the learned energy as
+  proposal log-density (sde_integration.py:158-184),
+- optional negative-time descent (plain force ascent / ULA, :353-360),
+- optional MALA refinement with fixed or adaptive step size targeting ~0.55
+  acceptance (:362-470),
+- per-step diagnostics (log-weights, unique-ancestor counts, SDE-term
+  statistics, MALA acceptance rates) collected as scan outputs on device.
+
+The step flags (accumulate / freeze / resample) are *precomputed* boolean
+arrays fed through scan ``xs``, so the compiled program is fully static: no
+data-dependent control flow, no recompilation across calls with the same
+config.
+
+Chain-parallelism over a device mesh lives in ``pita_tpu.parallel.sharded``;
+this module is mesh-agnostic (shard the chain batch of ``x1`` and everything
+follows, with weights gathered only for the global resample).
+"""
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pita_tpu.ops.resampling import systematic_resample, count_unique
+from pita_tpu.sampler.terms import compute_sde_terms
+from pita_tpu.utils.mean_free import remove_mean
+
+
+@dataclasses.dataclass(frozen=True)
+class IntegratorConfig:
+    """Static sampler configuration (configs/model/energytemp.yaml:72-87)."""
+
+    num_integration_steps: int = 1000
+    start_resampling_step: int = 0
+    end_resampling_step: int = 1000
+    resampling_interval: int = 1
+    resample_at_end: bool = False
+    time_range: float = 1.0
+    diffusion_scale: float = 1.0
+    num_negative_time_steps: int = 0
+    dt_negative_time: float = 1e-13
+    do_langevin: bool = False
+    post_mcmc_steps: int = 0
+    adaptive_mcmc: bool = True
+    should_mean_free: bool = True
+    debias_inference: bool = True
+    pin_energy: bool = False
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+class IntegrateResult(NamedTuple):
+    samples: jnp.ndarray  # (B, D) final samples
+    logweights: jnp.ndarray  # (steps[+1], B) log-weight trajectory
+    num_unique: jnp.ndarray  # (steps[+1],) unique ancestors per step
+    term_stats: dict  # {name: (steps,) std over chains} sampler diagnostics
+    acceptance_rates: jnp.ndarray  # (post_mcmc_steps,) MALA acceptance
+
+
+def _step_flags(cfg: IntegratorConfig, resampling_interval: int):
+    """Precompute per-step gating flags (sde_integration.py:277-297)."""
+    steps = np.arange(cfg.num_integration_steps)
+    in_window = (steps >= cfg.start_resampling_step) & (steps < cfg.end_resampling_step)
+    freeze = steps < cfg.start_resampling_step
+    if resampling_interval == -1:
+        resample = np.zeros_like(in_window)
+    else:
+        resample = in_window & (((steps + 1) % resampling_interval) == 0)
+    return in_window, freeze, resample
+
+
+def integrate_sde(
+    key,
+    x1: jnp.ndarray,
+    score_wrapper,
+    energy_wrapper,
+    params_score,
+    params_energy,
+    noise_schedule,
+    annealing_schedule,
+    target,
+    beta,
+    cfg: IntegratorConfig,
+    resampling_interval: Optional[int] = None,
+) -> IntegrateResult:
+    """Integrate the annealed reverse SDE from prior samples ``x1``.
+
+    Mirrors ``WeightedSDEIntegrator.integrate_sde`` (sde_integration.py:98-212)
+    as a pure jittable function. ``beta`` may be a traced scalar.
+    """
+    if resampling_interval is None:
+        resampling_interval = cfg.resampling_interval
+
+    B, D = x1.shape
+    n = cfg.num_integration_steps
+    times = jnp.linspace(cfg.time_range, 0.0, n + 1)[:-1]
+    dt = cfg.time_range / n
+
+    in_window, freeze, resample_f = _step_flags(cfg, resampling_interval)
+
+    n_part = getattr(target, "n_particles", 1)
+    n_sdim = getattr(target, "n_spatial_dim", D)
+
+    def maybe_mean_free(x):
+        if cfg.should_mean_free and getattr(target, "is_molecule", False):
+            return remove_mean(x, n_part, n_sdim)
+        return x
+
+    def body(carry, inp):
+        x, a, k = carry
+        t, acc_f, frz_f, res_f = inp
+        k, k_diff, k_res = jax.random.split(k, 3)
+
+        terms = compute_sde_terms(
+            score_wrapper,
+            energy_wrapper,
+            params_score,
+            params_energy,
+            noise_schedule,
+            annealing_schedule,
+            jnp.full((B,), t, x.dtype),
+            x,
+            beta,
+            debias=cfg.debias_inference,
+            compute_weights=resampling_interval != -1,
+            pin_energy=cfg.pin_energy,
+            energy_function=target if cfg.pin_energy else None,
+        )
+        g_t = noise_schedule.g(t)
+        diffusion = cfg.diffusion_scale * g_t * jax.random.normal(k_diff, x.shape, x.dtype)
+        x_next = x + terms.drift_X * dt + diffusion * jnp.sqrt(dt)
+        # before the resampling window the prior samples must not move
+        # (sde_integration.py:278-280)
+        x_next = jnp.where(frz_f, x, x_next)
+        x_next = maybe_mean_free(x_next)
+        a_next = jnp.where(acc_f, a + terms.drift_A * dt, jnp.zeros_like(a))
+
+        # branch-free systematic resampling (sde_integration.py:292-296)
+        choice = systematic_resample(k_res, a_next)
+        x_res = jnp.take(x_next, choice, axis=0)
+        x_next = jnp.where(res_f, x_res, x_next)
+        n_unique = jnp.where(res_f, count_unique(choice, B), B)
+        a_next = jnp.where(res_f, jnp.zeros_like(a_next), a_next)
+
+        stats = {
+            "divergence": _std(terms.divergence),
+            "cross_term": _std(terms.cross_term),
+            "dUt_dt": _std(terms.dUt_dt),
+        }
+        return (x_next, a_next, k), (a_next, n_unique, stats)
+
+    key, k_scan = jax.random.split(key)
+    init = (x1, jnp.zeros((B,), x1.dtype), k_scan)
+    xs = (times, jnp.asarray(in_window), jnp.asarray(freeze), jnp.asarray(resample_f))
+    (x, a, _), (logweights, num_unique, term_stats) = jax.lax.scan(body, init, xs)
+
+    did_resampling = resampling_interval != -1 and resampling_interval < n
+    if cfg.resample_at_end and did_resampling:
+        # final resample against the true target with the learned energy as
+        # the proposal log-density (sde_integration.py:158-184)
+        t_end = times[min(cfg.end_resampling_step, n - 1)]
+        key, k_end = jax.random.split(key)
+        target_logprob = target.log_prob(x)
+        tb = jnp.full((B,), t_end, x.dtype)
+        model_energy = energy_wrapper.energy(
+            params_energy, noise_schedule.h(tb), x, beta,
+            **(dict(pin=True, t=tb, energy_function=target) if cfg.pin_energy else {}),
+        )
+        logq0 = -model_energy * annealing_schedule.gamma(tb)
+        a_end = target_logprob - logq0 + a
+        a_end = jnp.minimum(a_end, jnp.quantile(a_end, 0.9))
+        choice = systematic_resample(k_end, a_end)
+        x = jnp.take(x, choice, axis=0)
+        logweights = jnp.concatenate([logweights, a_end[None]], axis=0)
+        num_unique = jnp.concatenate([num_unique, count_unique(choice, B)[None]], axis=0)
+
+    if cfg.num_negative_time_steps > 0:
+        x = negative_time_descent(
+            x,
+            target,
+            num_steps=cfg.num_negative_time_steps,
+            dt=cfg.dt_negative_time,
+            do_langevin=cfg.do_langevin,
+            key=jax.random.fold_in(key, 1),
+            mean_free=cfg.should_mean_free and getattr(target, "is_molecule", False),
+        )
+
+    acceptance = jnp.zeros((0,))
+    if cfg.post_mcmc_steps > 0:
+        x, acceptance = mala(
+            jax.random.fold_in(key, 2),
+            x,
+            target,
+            num_steps=cfg.post_mcmc_steps,
+            dt_init=cfg.dt_negative_time,
+            adaptive=cfg.adaptive_mcmc,
+            mean_free=cfg.should_mean_free and getattr(target, "is_molecule", False),
+        )
+
+    return IntegrateResult(x, logweights, num_unique, term_stats, acceptance)
+
+
+def _std(v):
+    if v is None:
+        return jnp.zeros(())
+    return jnp.std(v)
+
+
+def negative_time_descent(x, target, num_steps, dt, do_langevin, key, mean_free):
+    """Plain gradient ascent on log p (optionally ULA) (sde_integration.py:353-360)."""
+    n_part = getattr(target, "n_particles", 1)
+    n_sdim = getattr(target, "n_spatial_dim", x.shape[-1])
+
+    def body(carry, k):
+        x = carry
+        _, force = target.log_prob_and_force(x)
+        x = x + force * dt
+        if do_langevin:
+            x = x + jax.random.normal(k, x.shape, x.dtype) * jnp.sqrt(2 * dt)
+        if mean_free:
+            x = remove_mean(x, n_part, n_sdim)
+        return x, None
+
+    keys = jax.random.split(key, num_steps)
+    x, _ = jax.lax.scan(body, x, keys)
+    return x
+
+
+def mala(key, x, target, num_steps, dt_init, adaptive, mean_free, target_accept: float = 0.55):
+    """Metropolis-adjusted Langevin refinement (sde_integration.py:362-470).
+
+    Non-finite chains are frozen in place (the reference splits them out and
+    re-concatenates, which permutes chain order; we preserve positions).
+    Adaptive mode multiplies/divides the step size by 1.1 around the target
+    acceptance rate (:437-446).
+    """
+    n_part = getattr(target, "n_particles", 1)
+    n_sdim = getattr(target, "n_spatial_dim", x.shape[-1])
+    lp, force = target.log_prob_and_force(x)
+    valid = jnp.isfinite(lp)
+
+    def body(carry, k):
+        x, lp, force, dt = carry
+        k_noise, k_acc = jax.random.split(k)
+        noise = jax.random.normal(k_noise, x.shape, x.dtype)
+        prop = x + 0.5 * dt * force + jnp.sqrt(dt) * noise
+        lp_prop, force_prop = target.log_prob_and_force(prop)
+        fwd_mean = x + 0.5 * dt * force
+        bwd_mean = prop + 0.5 * dt * force_prop
+        log_q_fwd = -jnp.sum((prop - fwd_mean) ** 2, axis=-1) / (2 * dt)
+        log_q_bwd = -jnp.sum((x - bwd_mean) ** 2, axis=-1) / (2 * dt)
+        log_ratio = (lp_prop - lp) + (log_q_bwd - log_q_fwd)
+        accept = (jnp.log(jax.random.uniform(k_acc, lp.shape)) < log_ratio) & valid
+        acc_rate = jnp.sum(accept & valid) / jnp.maximum(jnp.sum(valid), 1)
+        x_new = jnp.where(accept[:, None], prop, x)
+        if mean_free:
+            x_new = jnp.where(valid[:, None], remove_mean(x_new, n_part, n_sdim), x_new)
+        lp_new = jnp.where(accept, lp_prop, lp)
+        force_new = jnp.where(accept[:, None], force_prop, force)
+        if adaptive:
+            dt = jnp.where(acc_rate > target_accept, dt * 1.1, dt / 1.1)
+        return (x_new, lp_new, force_new, dt), acc_rate
+
+    keys = jax.random.split(key, num_steps)
+    (x, _, _, _), acc = jax.lax.scan(body, (x, lp, force, jnp.asarray(dt_init, x.dtype)), keys)
+    return x, acc

@@ -1,0 +1,126 @@
+"""Drift assembly for the annealed reverse-time VE SDE.
+
+Reference parity: ``pita/src/models/components/sdes.py`` (``VEReverseSDE.f``,
+:130-239). In debiased mode the position drift mixes the learned energy
+gradient and score,
+
+    drift_X = γ(t)·(−∇_x U_θ)·g²/2 + γ(t)·b_t,     b_t = s_θ·g²/2,
+
+(the reference ties gamma_score to gamma_energy, sdes.py:142-143) and the
+Radon–Nikodym log-weight drift is
+
+    drift_A = γ²·⟨−∇U, b_t⟩ + γ·div(b_t) + γ·∂U/∂t + (dγ/dt)·U,
+
+clamped at its 0.9 batch quantile (sdes.py:222-230). With no score net, b_t is
+built from the energy gradient and div(b_t) from the exact Laplacian
+(sdes.py:205-216). Non-debiased mode is the plain reverse VE SDE
+(``f_not_debiased``, sdes.py:117-128).
+
+Everything here is a pure function of (params, t, x): no ``enable_grad``
+blocks, no ``.detach()`` bookkeeping — ``jax.grad`` over pure functions gives
+∇_x U, ∂U/∂t, and the score-Jacobian trace in one traced program that XLA
+fuses into the sampler scan.
+"""
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pita_tpu.ops.divergence import exact_divergence, exact_laplacian
+
+
+class SDETerms(NamedTuple):
+    """Per-chain drift terms (reference sdes.py:34-92)."""
+
+    drift_X: jnp.ndarray  # (B, D)
+    drift_A: jnp.ndarray  # (B,)
+    divergence: Optional[jnp.ndarray] = None  # γ-free div(b_t), (B,)
+    cross_term: Optional[jnp.ndarray] = None  # ⟨−∇U, b_t⟩, (B,)
+    dUt_dt: Optional[jnp.ndarray] = None  # ∂U_θ/∂t, (B,)
+
+
+def compute_sde_terms(
+    score_wrapper,
+    energy_wrapper,
+    params_score,
+    params_energy,
+    noise_schedule,
+    annealing_schedule,
+    t: jnp.ndarray,
+    x: jnp.ndarray,
+    beta,
+    *,
+    debias: bool = True,
+    compute_weights: bool = True,
+    pin_energy: bool = False,
+    energy_function: Any = None,
+    clip_quantile: float = 0.9,
+) -> SDETerms:
+    """Assemble drift_X and drift_A at times t (B,) for chains x (B, D)."""
+    B = x.shape[0]
+    t = jnp.broadcast_to(jnp.asarray(t, x.dtype).reshape(-1), (B,))
+    gamma = annealing_schedule.gamma(t)
+    g2 = noise_schedule.g(t) ** 2
+    ht = noise_schedule.h(t)
+
+    has_score = score_wrapper is not None and params_score is not None
+
+    if not debias:
+        # plain reverse VE SDE: drift = γ · s_θ · g² (sdes.py:117-128)
+        s_t = score_wrapper.score(params_score, ht, x, beta)
+        drift_X = gamma[:, None] * s_t * g2[:, None]
+        return SDETerms(drift_X=drift_X, drift_A=jnp.zeros((B,), x.dtype))
+
+    assert energy_wrapper is not None and params_energy is not None
+
+    pin_kw = dict(pin=pin_energy, t=t, energy_function=energy_function) if pin_energy else {}
+
+    def U_of_tx(tt, xx):
+        """U_θ as a function of integration time (through h) and position."""
+        return energy_wrapper.energy(params_energy, noise_schedule.h(tt), xx, beta, **pin_kw)
+
+    U = U_of_tx(t, x)
+    nabla_U, dU_dt = jax.grad(lambda xx, tt: jnp.sum(U_of_tx(tt, xx)), argnums=(0, 1))(x, t)
+
+    if has_score:
+        s_t = score_wrapper.score(params_score, ht, x, beta)
+        bt = s_t * g2[:, None] / 2
+    else:
+        bt = -nabla_U * g2[:, None] / 2
+
+    drift_X = gamma[:, None] * (-nabla_U) * g2[:, None] / 2 + gamma[:, None] * bt
+
+    if not compute_weights:
+        return SDETerms(drift_X=drift_X, drift_A=jnp.zeros((B,), x.dtype))
+
+    if has_score:
+        div_st = exact_divergence(
+            lambda tt, xx: score_wrapper.score(
+                params_score, noise_schedule.h(tt), xx, beta
+            ),
+            t,
+            x,
+        )
+        div_bt = div_st * g2 / 2
+    else:
+        lap_U = exact_laplacian(U_of_tx, t, x)
+        div_bt = -lap_U * g2 / 2
+
+    inner = jnp.sum(-nabla_U * bt, axis=-1)
+    drift_A = (
+        gamma * gamma * inner
+        + gamma * div_bt
+        + gamma * dU_dt
+        + annealing_schedule.dgamma_dt(t) * U
+    )
+    # clip the weight drift at its batch 0.9-quantile (sdes.py:230)
+    drift_A = jnp.minimum(drift_A, jnp.quantile(drift_A, clip_quantile))
+
+    return SDETerms(
+        drift_X=jax.lax.stop_gradient(drift_X),
+        drift_A=jax.lax.stop_gradient(drift_A),
+        divergence=div_bt,
+        cross_term=inner,
+        dUt_dt=dU_dt,
+    )
