@@ -1,0 +1,93 @@
+"""Metric loggers: CSV (always available), console, optional wandb.
+
+Reference parity: the reference's multi-backend logger configs
+(``pita/configs/logger/*.yaml`` — wandb default, csv/tensorboard/...) driven by
+Lightning's ``log_dict``. Here a tiny common interface: ``log_metrics(dict,
+step)`` with pluggable backends; wandb is gated on import availability.
+"""
+
+import csv
+import os
+from typing import Optional
+
+
+class CSVLogger:
+    def __init__(self, out_dir: str, filename: str = "metrics.csv"):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, filename)
+        self._fieldnames = ["step"]
+        self._rows = []
+
+    def log_metrics(self, metrics: dict, step: int = 0):
+        row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        self._rows.append(row)
+        for k in row:
+            if k not in self._fieldnames:
+                self._fieldnames.append(k)
+        with open(self.path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fieldnames)
+            w.writeheader()
+            w.writerows(self._rows)
+
+    def log_image(self, name: str, images, step: int = 0):
+        pass  # images are saved by the plotting module directly
+
+
+class ConsoleLogger:
+    def __init__(self, every: int = 1):
+        self.every = every
+
+    def log_metrics(self, metrics: dict, step: int = 0):
+        if step % self.every == 0:
+            parts = " ".join(f"{k}={float(v):.4g}" for k, v in metrics.items())
+            print(f"[step {step}] {parts}")
+
+    def log_image(self, name, images, step=0):
+        pass
+
+
+class WandbLogger:
+    """Optional; requires the wandb package (absent ⇒ raises at construction)."""
+
+    def __init__(self, project: str, name: Optional[str] = None, config: Optional[dict] = None):
+        import wandb
+
+        self._wandb = wandb
+        self.run = wandb.init(project=project, name=name, config=config)
+
+    def log_metrics(self, metrics: dict, step: int = 0):
+        self._wandb.log(dict(metrics), step=step)
+
+    def log_image(self, name, images, step: int = 0):
+        self._wandb.log({name: [self._wandb.Image(im) for im in images]}, step=step)
+
+
+class MultiLogger:
+    def __init__(self, loggers):
+        self.loggers = list(loggers)
+
+    def log_metrics(self, metrics, step=0):
+        for lg in self.loggers:
+            lg.log_metrics(metrics, step)
+
+    def log_image(self, name, images, step=0):
+        for lg in self.loggers:
+            lg.log_image(name, images, step)
+
+
+def make_logger(out_dir: str, kinds=("csv",), **kw):
+    """Build a MultiLogger from backend names (configs/logger/* parity)."""
+    backends = []
+    for kind in kinds:
+        if kind == "csv":
+            backends.append(CSVLogger(out_dir))
+        elif kind == "console":
+            backends.append(ConsoleLogger())
+        elif kind == "wandb":
+            try:
+                backends.append(WandbLogger(**kw))
+            except ImportError:
+                print("wandb not available; skipping")
+        else:
+            raise ValueError(f"unknown logger kind {kind}")
+    return MultiLogger(backends)

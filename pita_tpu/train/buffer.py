@@ -1,0 +1,145 @@
+"""Replay buffer as a pure JAX ring buffer.
+
+Reference parity: ``pita/src/models/components/prioritised_replay_buffer.py``
+(``SimpleBuffer``, :224-430): fixed-capacity ring holding (x, energy, force),
+uniform or energy-prioritized sampling with/without replacement, per-rank
+seeded generators, ``get_last_n_inserted``, save/load; lives in checkpoints.
+
+TPU-first design: the buffer is a NamedTuple of device arrays plus write
+position and fill count — ``buffer_add``/``buffer_sample`` are pure jittable
+functions (donatable), the state checkpoints through orbax like any pytree,
+and per-device PRNG folding replaces per-rank torch generators.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ReplayBuffer(NamedTuple):
+    x: jnp.ndarray  # (capacity, dim)
+    energy: jnp.ndarray  # (capacity,)
+    force: jnp.ndarray  # (capacity, dim)
+    pos: jnp.ndarray  # int32 next write index
+    size: jnp.ndarray  # int32 number of valid entries
+
+
+def buffer_init(capacity: int, dim: int, dtype=jnp.float32) -> ReplayBuffer:
+    return ReplayBuffer(
+        x=jnp.zeros((capacity, dim), dtype),
+        energy=jnp.zeros((capacity,), dtype),
+        force=jnp.zeros((capacity, dim), dtype),
+        pos=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+def buffer_add(buf: ReplayBuffer, x, energy, force=None, mask=None) -> ReplayBuffer:
+    """Append a batch, wrapping around (SimpleBuffer.add, :285-317).
+
+    ``mask`` (optional, (n,)) marks valid rows (the reference filters
+    high-energy samples before inserting, energytemp_module.py:881-901).
+    For jit-static shapes, valid rows are stably compacted to the front and
+    the cursor advances only past them; masked rows land beyond the cursor
+    and are overwritten by the next add.
+    """
+    n, dim = x.shape
+    cap = buf.x.shape[0]
+    if force is None:
+        force = jnp.zeros_like(x)
+    if mask is not None:
+        # move valid rows to the front (stable) so the cursor advance covers
+        # exactly the valid ones
+        order = jnp.argsort(~mask, stable=True)
+        x, energy, force = x[order], energy[order], force[order]
+        n_valid = jnp.sum(mask.astype(jnp.int32))
+    else:
+        n_valid = jnp.asarray(n, jnp.int32)
+    idx = (buf.pos + jnp.arange(n)) % cap
+    write_ok = jnp.arange(n) < n_valid
+    new_x = buf.x.at[idx].set(jnp.where(write_ok[:, None], x, buf.x[idx]))
+    new_e = buf.energy.at[idx].set(jnp.where(write_ok, energy, buf.energy[idx]))
+    new_f = buf.force.at[idx].set(jnp.where(write_ok[:, None], force, buf.force[idx]))
+    return ReplayBuffer(
+        x=new_x,
+        energy=new_e,
+        force=new_f,
+        pos=(buf.pos + n_valid) % cap,
+        size=jnp.minimum(buf.size + n_valid, cap),
+    )
+
+
+def buffer_sample(buf: ReplayBuffer, key, batch_size: int, prioritize: bool = False):
+    """Uniform (or energy-prioritized) sampling with replacement
+    (SimpleBuffer.sample, :335-370). Returns (x, energy, force, idx)."""
+    if prioritize:
+        # lower energy → higher priority (softmax of -E over the valid region)
+        valid = jnp.arange(buf.x.shape[0]) < buf.size
+        logits = jnp.where(valid, -buf.energy, -jnp.inf)
+        idx = jax.random.categorical(key, logits, shape=(batch_size,))
+    else:
+        idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(buf.size, 1))
+    return buf.x[idx], buf.energy[idx], buf.force[idx], idx
+
+
+def buffer_last_n(buf: ReplayBuffer, n: int):
+    """The n most recently inserted rows (SimpleBuffer.get_last_n_inserted, :319-333)."""
+    cap = buf.x.shape[0]
+    idx = (buf.pos - 1 - jnp.arange(n)) % cap
+    return buf.x[idx], buf.energy[idx], buf.force[idx]
+
+
+def stack_buffers(bufs) -> ReplayBuffer:
+    """Stack per-temperature buffers along a leading rung axis.
+
+    The reference keeps per-rung buffers in a str-keyed ModuleDict
+    (energytemp_module.py:189-191); stacking instead lets a jitted train step
+    select the active rung with one dynamic slice (no host branching), which
+    is what makes `train_on_all_temps` (energytemp_module.py:703-710) a
+    traced-index gather instead of per-step host dispatch.
+    """
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *bufs)
+
+
+def buffer_view(bufs: ReplayBuffer, i) -> ReplayBuffer:
+    """Select rung ``i`` (static or traced) from a stacked buffer."""
+    import jax
+
+    return jax.tree.map(lambda a: a[i], bufs)
+
+
+def buffer_set(bufs: ReplayBuffer, i: int, buf: ReplayBuffer) -> ReplayBuffer:
+    """Write rung ``i`` (static) back into a stacked buffer."""
+    import jax
+
+    return jax.tree.map(lambda a, b: a.at[i].set(b), bufs, buf)
+
+
+def buffer_save(buf: ReplayBuffer, path: str):
+    """Persist to .npz (SimpleBuffer.save, :389-399)."""
+    import numpy as np
+
+    np.savez(
+        path,
+        x=np.asarray(buf.x),
+        energy=np.asarray(buf.energy),
+        force=np.asarray(buf.force),
+        pos=int(buf.pos),
+        size=int(buf.size),
+    )
+
+
+def buffer_load(path: str) -> ReplayBuffer:
+    import numpy as np
+
+    z = np.load(path)
+    return ReplayBuffer(
+        x=jnp.asarray(z["x"]),
+        energy=jnp.asarray(z["energy"]),
+        force=jnp.asarray(z["force"]),
+        pos=jnp.asarray(z["pos"], jnp.int32),
+        size=jnp.asarray(z["size"], jnp.int32),
+    )

@@ -1,0 +1,557 @@
+"""EnergyTempTrainer — the temperature-ladder training orchestrator.
+
+Reference parity: ``pita/src/models/energytemp_module.py`` (``energyTempModule``)
+plus the Lightning Trainer loop around it (``pita/src/train.py``):
+
+- owns twin score/energy networks (one backbone class, two parameter trees,
+  :94-104) with EMA shadows (:109-111),
+- a per-rung replay buffer (stacked, §buffer.py) seeded and populated from the
+  target train set or the prior (:1229-1247),
+- the temperature ladder: active rung from the epoch via the cumulative
+  ``num_epochs_per_temp`` schedule (:195-200, :1253-1262),
+- training epochs of ``n_train_batches_per_epoch`` buffer batches with SO(3)/
+  CoM augmentation (:696-723), the 6-loss objective, Adam + global-norm clip,
+  EMA update after every optimizer step (:1297-1302),
+- every ``check_val_every_n_epoch`` epochs: evaluation — annealed sample
+  generation via the SDE integrator, metrics, and at rung transitions the
+  next rung's buffer fill with |E|-masked samples, sample dumps, optional
+  network re-initialization (:819-1000),
+- test-time final sampling across ladder pairs (:1002-1081).
+
+TPU-first architecture: a *whole epoch* is one jitted ``lax.scan`` over
+batches (buffer sampling, augmentation, losses, optimizer and EMA updates all
+on device — the reference pays a host dispatch per batch), and sampling is the
+single-program integrator from ``pita_tpu.sampler``. Multi-device data/chain
+parallelism enters via ``pita_tpu.parallel`` shardings, not a DDP wrapper.
+"""
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pita_tpu.nets.ema import EMAState, ema_init, ema_update
+from pita_tpu.nets.precondition import ScoreWrapper, EnergyWrapper
+from pita_tpu.sampler.integrator import IntegratorConfig, integrate_sde
+from pita_tpu.targets.priors import Prior
+from pita_tpu.train.augment import rotate_augment, com_augment
+from pita_tpu.train.buffer import (
+    buffer_add,
+    buffer_init,
+    buffer_sample,
+    buffer_set,
+    buffer_view,
+    stack_buffers,
+)
+from pita_tpu.train.losses import LossConfig, compute_losses
+from pita_tpu.metrics.distances import energy_distances, interatomic_dist_w2
+from pita_tpu.metrics.ess import effective_sample_size
+from pita_tpu.utils.mean_free import remove_mean
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Ladder/loop configuration (configs/model/energytemp.yaml + experiment overlays)."""
+
+    temperatures: tuple = (4.0, 3.0, 2.0, 1.5, 1.2, 1.0)
+    num_epochs_per_temp: tuple = (150, 200, 150, 200, 300)
+    max_epochs: Optional[int] = None  # default: ladder end
+    n_train_batches_per_epoch: int = 250
+    training_batch_size: int = 512
+    check_val_every_n_epoch: int = 100
+    lr: float = 1e-3
+    grad_clip: float = 0.5
+    ema_decay: float = 0.999
+    eval_ema: bool = True
+    buffer_capacity: int = 60000
+    num_init_samples: int = 10000
+    num_eval_samples: int = 2048
+    num_temp_annealed_samples: int = 5000
+    num_samples_to_save: int = 10000
+    test_batch_size: int = 5000
+    energy_masking_threshold: float = 1e3
+    train_on_all_temps: bool = True
+    init_from_prior: bool = False
+    reinitialize_networks: bool = False
+    prioritize_buffer: bool = False
+    should_mean_free: bool = True
+    precondition_beta: bool = False
+    seed: int = 12345
+    dem_num_training_epochs: int = 0
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+class EnergyTempTrainer:
+    def __init__(
+        self,
+        target,
+        backbone_factory: Callable[[], Any],
+        noise_schedule,
+        annealing_schedule_factory: Callable[[float], Any],
+        loss_cfg: LossConfig,
+        integrator_cfg: IntegratorConfig,
+        cfg: TrainerConfig,
+        out_dir: str = "outputs",
+        logger=None,
+        dem_cfg=None,
+    ):
+        self.cfg = cfg
+        self.loss_cfg = loss_cfg
+        self.integrator_cfg = integrator_cfg
+        self.noise_schedule = noise_schedule
+        self.make_annealing = annealing_schedule_factory
+        self.out_dir = out_dir
+        self.logger = logger
+        self.dem_cfg = dem_cfg
+        os.makedirs(out_dir, exist_ok=True)
+
+        self.base_target = target
+        self.dim = target.dim
+        self.n_particles = getattr(target, "n_particles", 1)
+        self.n_spatial_dim = getattr(target, "n_spatial_dim", self.dim)
+        self.is_molecule = getattr(target, "is_molecule", False)
+        self.mean_free = cfg.should_mean_free and self.is_molecule
+
+        temps = np.asarray(cfg.temperatures, dtype=np.float64)
+        self.temperatures = temps
+        # β_i = round(T_0 / T_i, 2) (energytemp_module.py:180-184)
+        self.inverse_temperatures = np.round(temps[0] / temps, 2)
+        self.n_temps = len(temps)
+        # per-rung targets (energytemp_module.py:1271-1276)
+        self.targets = [target.at_temperature(float(T)) for T in temps]
+
+        if cfg.num_epochs_per_temp is not None:
+            assert len(cfg.num_epochs_per_temp) == self.n_temps - 1
+            self.update_temp_epoch = (
+                np.cumsum(cfg.num_epochs_per_temp) + cfg.dem_num_training_epochs
+            )
+        else:
+            assert self.n_temps == 1
+            self.update_temp_epoch = np.asarray([], dtype=np.int64)
+
+        self._backbone_factory = backbone_factory
+        backbone = backbone_factory()
+        self.score = ScoreWrapper(backbone, precondition_beta=cfg.precondition_beta)
+        self.energy = EnergyWrapper(backbone_factory(), precondition_beta=cfg.precondition_beta)
+
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.key, k1, k2 = jax.random.split(self.key, 3)
+        self.params_score = self.score.init(k1, self.dim)
+        # the reference deep-copies one init into both nets (:94-99)
+        self.params_energy = jax.tree.map(jnp.copy, self.params_score)
+        self.ema_score = ema_init(self.params_score)
+        self.ema_energy = ema_init(self.params_energy)
+
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adam(cfg.lr),
+        )
+        self.opt_state = self.optimizer.init((self.params_score, self.params_energy))
+
+        self.buffers = stack_buffers(
+            [buffer_init(cfg.buffer_capacity, self.dim) for _ in range(self.n_temps)]
+        )
+
+        self.epoch = 0
+        self._train_epoch_fn = None
+        self._integrate_fn_cache = {}
+        self.metrics_history = []
+
+    # ---------------------------------------------------------------- setup
+
+    def active_temp_index(self, epoch: Optional[int] = None) -> int:
+        """Rung active at ``epoch`` (energytemp_module.py:195-200)."""
+        if epoch is None:
+            epoch = self.epoch
+        return int(np.searchsorted(self.update_temp_epoch, epoch, side="right"))
+
+    @property
+    def t_start(self) -> float:
+        """Integration start time = times[start_resampling_step] (:192-193)."""
+        n = self.integrator_cfg.num_integration_steps
+        times = np.linspace(1.0, 0.0, n + 1)
+        return float(times[self.integrator_cfg.start_resampling_step])
+
+    def _prior(self, annealing_factor: float):
+        gamma_start = self.make_annealing(annealing_factor).gamma(
+            jnp.asarray(self.t_start)
+        )
+        scale = float(
+            np.sqrt(self.noise_schedule.h(jnp.asarray(self.t_start)) / gamma_start)
+        )
+        return Prior(
+            scale=scale,
+            n_particles=self.n_particles,
+            spatial_dim=self.n_spatial_dim,
+            dim=self.dim,
+            should_mean_free=self.mean_free,
+        )
+
+    def populate_initial_buffer(self):
+        """Fill rung-0 buffer from train data or the prior (:1229-1247)."""
+        self.key, k_data, k_prior = jax.random.split(self.key, 3)
+        if self.cfg.init_from_prior or self.cfg.dem_num_training_epochs > 0:
+            prior = Prior(
+                scale=float(np.sqrt(self.noise_schedule.h(jnp.asarray(self.t_start)))),
+                n_particles=self.n_particles,
+                spatial_dim=self.n_spatial_dim,
+                dim=self.dim,
+                should_mean_free=self.mean_free,
+            )
+            init_states = prior.sample(k_prior, self.cfg.num_init_samples)
+        else:
+            init_states = self.targets[0].sample_train_set(k_data, self.cfg.num_init_samples)
+        energies, forces = self.targets[0].log_prob_and_force(init_states)
+        buf0 = buffer_add(buffer_view(self.buffers, 0), init_states, energies, forces)
+        self.buffers = buffer_set(self.buffers, 0, buf0)
+
+    # ------------------------------------------------------------ train step
+
+    def _build_train_epoch(self):
+        cfg = self.cfg
+        score, energy = self.score, self.energy
+        noise_schedule, loss_cfg = self.noise_schedule, self.loss_cfg
+        optimizer = self.optimizer
+        n_p, n_d = self.n_particles, self.n_spatial_dim
+        is_mol, mean_free = self.is_molecule, self.mean_free
+        inv_temps = jnp.asarray(self.inverse_temperatures, jnp.float32)
+        batch = cfg.training_batch_size
+        n_batches = cfg.n_train_batches_per_epoch
+
+        def train_epoch(params_s, params_e, opt_state, ema_s, ema_e, buffers, key, temp_idxs):
+            def one_step(carry, inp):
+                params_s, params_e, opt_state, ema_s, ema_e = carry
+                key_t, temp_idx = inp
+                k_sample, k_aug, k_com, k_loss = jax.random.split(key_t, 4)
+                buf_i = buffer_view(buffers, temp_idx)
+                x0, e0, f0, _ = buffer_sample(
+                    buf_i, k_sample, batch, prioritize=cfg.prioritize_buffer
+                )
+                if is_mol:
+                    x0, f0 = rotate_augment(k_aug, x0, f0, n_p, n_d)
+                if is_mol and not mean_free:
+                    x0 = com_augment(k_com, x0, n_p, n_d)
+                beta = inv_temps[temp_idx]
+                t_i = self._epoch_targets_switch(temp_idx)
+
+                def loss_fn(both):
+                    ps, pe = both
+                    return compute_losses(
+                        score, energy, ps, pe, noise_schedule, loss_cfg, k_loss,
+                        x0, e0, f0, beta,
+                        target=t_i, n_particles=n_p, n_spatial_dim=n_d,
+                        mean_free=mean_free,
+                    )
+
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    (params_s, params_e)
+                )
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, (params_s, params_e)
+                )
+                params_s, params_e = optax.apply_updates((params_s, params_e), updates)
+                if cfg.ema_decay > 0:
+                    ema_s = ema_update(ema_s, params_s, cfg.ema_decay)
+                    ema_e = ema_update(ema_e, params_e, cfg.ema_decay)
+                scalar_aux = {
+                    k: v
+                    for k, v in aux.items()
+                    if not k.endswith("per_sample") and k != "ln_sigma"
+                }
+                return (params_s, params_e, opt_state, ema_s, ema_e), scalar_aux
+
+            keys = jax.random.split(key, n_batches)
+            carry = (params_s, params_e, opt_state, ema_s, ema_e)
+            carry, aux = jax.lax.scan(one_step, carry, (keys, temp_idxs))
+            mean_aux = jax.tree.map(jnp.mean, aux)
+            return carry, mean_aux
+
+        return train_epoch
+
+    def _epoch_targets_switch(self, temp_idx):
+        """Static dispatch: losses that need the target (dem_energy) pick the
+        active rung's target. With the default weights (dem_energy=0) the
+        target is unused and any rung works; when enabled, fall back to
+        branch-per-rung lax.switch only if tempered targets differ."""
+        if self.loss_cfg.w_dem_energy == 0:
+            return self.targets[0]
+        # all rungs share the same functional form; temperature enters log_prob
+        # as a scalar divide — build a switch-free tempered wrapper
+        base = self.targets[0]
+        temps = jnp.asarray(self.temperatures, jnp.float32)
+
+        class _TemperedView:
+            def __init__(self, base, T):
+                self._base = base
+                self._T = T
+
+            def log_prob(self, x):
+                return self._base.log_prob(x) * self._base.temperature / self._T
+
+        return _TemperedView(base, temps[temp_idx])
+
+    def train_one_epoch(self) -> dict:
+        """Run one epoch of buffer-batch training, fully on device."""
+        if self._train_epoch_fn is None:
+            self._train_epoch_fn = jax.jit(self._build_train_epoch())
+        cfg = self.cfg
+        self.key, k_epoch, k_temps = jax.random.split(self.key, 3)
+        active = self.active_temp_index()
+        if cfg.train_on_all_temps:
+            # uniform over active rungs, per batch (:703-710)
+            temp_idxs = jax.random.randint(
+                k_temps, (cfg.n_train_batches_per_epoch,), 0, active + 1
+            )
+        else:
+            temp_idxs = jnp.full((cfg.n_train_batches_per_epoch,), active, jnp.int32)
+        (
+            (self.params_score, self.params_energy, self.opt_state,
+             self.ema_score, self.ema_energy),
+            aux,
+        ) = self._train_epoch_fn(
+            self.params_score, self.params_energy, self.opt_state,
+            self.ema_score, self.ema_energy, self.buffers, k_epoch, temp_idxs,
+        )
+        return {k: float(v) for k, v in aux.items()}
+
+    # -------------------------------------------------------------- sampling
+
+    def _eval_params(self):
+        """EMA-swapped parameters for evaluation (:803-813)."""
+        if self.cfg.ema_decay > 0 and self.cfg.eval_ema:
+            return self.ema_score.params, self.ema_energy.params
+        return self.params_score, self.params_energy
+
+    def generate_samples(
+        self,
+        target,
+        num_samples: int,
+        inverse_temp: float = 1.0,
+        annealing_factor: float = 1.0,
+        resampling_interval: Optional[int] = None,
+        return_logweights: bool = False,
+        integrator_cfg: Optional[IntegratorConfig] = None,
+        params: Optional[tuple] = None,
+    ):
+        """Annealed sample generation (energytemp_module.py:237-298)."""
+        cfg = integrator_cfg or self.integrator_cfg
+        anneal = self.make_annealing(annealing_factor)
+        prior = self._prior(annealing_factor)
+        self.key, k_prior, k_int = jax.random.split(self.key, 3)
+        x1 = prior.sample(k_prior, num_samples)
+        ps, pe = params if params is not None else self._eval_params()
+
+        res = self._integrate(
+            k_int, x1, ps, pe, anneal, target, inverse_temp, cfg, resampling_interval
+        )
+        if not return_logweights:
+            return res
+        # second pass without resampling for log-weight diagnostics (:279-296)
+        self.key, k2 = jax.random.split(self.key)
+        n_diag = min(num_samples, 512)
+        res_nores = self._integrate(
+            k2, x1[:n_diag], ps, pe, anneal, target, inverse_temp, cfg,
+            cfg.num_integration_steps + 1,
+        )
+        return res, res_nores
+
+    def _integrate(self, key, x1, ps, pe, anneal, target, beta, cfg, resampling_interval):
+        cache_key = (id(target), anneal, cfg, resampling_interval, x1.shape)
+        if cache_key not in self._integrate_fn_cache:
+            def fn(key, x1, ps, pe, beta):
+                return integrate_sde(
+                    key, x1, self.score, self.energy, ps, pe,
+                    self.noise_schedule, anneal, target, beta, cfg,
+                    resampling_interval=resampling_interval,
+                )
+            self._integrate_fn_cache[cache_key] = jax.jit(fn)
+        return self._integrate_fn_cache[cache_key](
+            key, x1, ps, pe, jnp.asarray(beta, jnp.float32)
+        )
+
+    # ------------------------------------------------------------ evaluation
+
+    def evaluate(self, prefix: str = "val") -> dict:
+        """Validation-epoch evaluation + rung transition (:819-1000)."""
+        cfg = self.cfg
+        index = self.active_temp_index()
+        index_lower = index
+        num_samples = cfg.num_eval_samples
+        anneal_to_lower = (
+            index < self.n_temps - 1
+            and len(self.update_temp_epoch) > 0
+            and (self.epoch + 1) == self.update_temp_epoch[index]
+        )
+        if anneal_to_lower:
+            num_samples = cfg.num_temp_annealed_samples
+            index_lower += 1
+
+        inverse_temp = float(self.inverse_temperatures[index])
+        inverse_lower = float(self.inverse_temperatures[index_lower])
+        annealing_factor = inverse_lower / inverse_temp
+        target_lower = self.targets[index_lower]
+
+        res, res_nores = self.generate_samples(
+            target_lower,
+            num_samples,
+            inverse_temp=inverse_temp,
+            annealing_factor=annealing_factor,
+            return_logweights=True,
+        )
+        samples = res.samples
+        energies, forces = target_lower.log_prob_and_force(samples)
+
+        metrics = {}
+        if anneal_to_lower:
+            # |E| mask then fill the next rung's buffer (:881-901)
+            mask = jnp.abs(energies) <= cfg.energy_masking_threshold
+            if bool(jnp.sum(mask) == 0):
+                mask = jnp.ones_like(mask)
+            buf = buffer_view(self.buffers, index_lower)
+            buf = buffer_add(buf, samples, energies, forces, mask=mask)
+            self.buffers = buffer_set(self.buffers, index_lower, buf)
+            np.savez(
+                os.path.join(
+                    self.out_dir,
+                    f"buffer_samples_temperature_{self.temperatures[index_lower]:.3f}.npz",
+                ),
+                samples=np.asarray(samples),
+                energies=np.asarray(energies),
+                samples_not_resampled=np.asarray(res_nores.samples),
+            )
+            if cfg.reinitialize_networks and not cfg.train_on_all_temps:
+                self._reinitialize_networks()
+            metrics[f"{prefix}/buffer_filled_temp"] = float(
+                self.temperatures[index_lower]
+            )
+
+        # metrics (:929-999)
+        self.key, k_val = jax.random.split(self.key)
+        try:
+            data = target_lower.sample_val_set(k_val, samples.shape[0])
+        except (ValueError, NotImplementedError):
+            data = None
+        if data is not None:
+            data_energies = target_lower.log_prob(data)
+            metrics.update(
+                energy_distances(
+                    energies, data_energies, prefix=prefix,
+                    energy_threshold=cfg.energy_masking_threshold,
+                )
+            )
+            if self.is_molecule:
+                metrics[f"{prefix}/dist_w2"] = interatomic_dist_w2(
+                    target_lower, samples, data
+                )
+        metrics[f"{prefix}/energy_mean"] = float(-jnp.mean(energies))
+        metrics[f"{prefix}/energy_mean_no_resampling"] = float(
+            -jnp.mean(target_lower.log_prob(res_nores.samples))
+        )
+        metrics[f"{prefix}/lower_temp"] = float(self.temperatures[index_lower])
+        final_lw = res_nores.logweights[-1]
+        metrics[f"{prefix}/ess"] = float(effective_sample_size(final_lw, normalize=True))
+        metrics[f"{prefix}/logweight_std"] = float(jnp.std(final_lw))
+        if res.acceptance_rates.shape[0] > 0:
+            metrics[f"{prefix}/acceptance_rate_mean"] = float(
+                jnp.mean(res.acceptance_rates)
+            )
+        if self.logger is not None:
+            self.logger.log_metrics(metrics, step=self.epoch)
+        self.metrics_history.append(dict(metrics, epoch=self.epoch))
+        return metrics
+
+    def _reinitialize_networks(self):
+        """Fresh backbone params at a rung transition (:913-920)."""
+        self.key, k = jax.random.split(self.key)
+        self.params_score = self.score.init(k, self.dim)
+        self.params_energy = jax.tree.map(jnp.copy, self.params_score)
+        self.ema_score = ema_init(self.params_score)
+        self.ema_energy = ema_init(self.params_energy)
+        self.opt_state = self.optimizer.init((self.params_score, self.params_energy))
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, max_epochs: Optional[int] = None, log_every: int = 10):
+        """The training loop (train.py:106 + Lightning epoch loop)."""
+        cfg = self.cfg
+        if max_epochs is None:
+            max_epochs = cfg.max_epochs or (
+                int(self.update_temp_epoch[-1]) if len(self.update_temp_epoch) else 100
+            )
+        if int(self.buffers.size[0]) == 0:
+            self.populate_initial_buffer()
+        while self.epoch < max_epochs:
+            t0 = time.time()
+            aux = self.train_one_epoch()
+            dt = time.time() - t0
+            if self.logger is not None and (self.epoch % log_every == 0):
+                self.logger.log_metrics(
+                    {f"train/{k}": v for k, v in aux.items()} | {"train/epoch_s": dt},
+                    step=self.epoch,
+                )
+            if (self.epoch + 1) % cfg.check_val_every_n_epoch == 0:
+                self.evaluate("val")
+            self.epoch += 1
+        return self.metrics_history
+
+    # ----------------------------------------------------------------- test
+
+    def test(self, temps_to_anneal=None) -> dict:
+        """Final sampling across ladder pairs (:1002-1081)."""
+        cfg = self.cfg
+        if temps_to_anneal is None:
+            pairs = [(i, i + 1) for i in range(self.n_temps - 1)]
+        else:
+            pairs = []
+            for Ta, Tb in temps_to_anneal:
+                ia = int(np.argmin(np.abs(self.temperatures - Ta)))
+                ib = int(np.argmin(np.abs(self.temperatures - Tb)))
+                pairs.append((ia, ib))
+        all_metrics = {}
+        for i, j in pairs:
+            beta_i = float(self.inverse_temperatures[i])
+            beta_j = float(self.inverse_temperatures[j])
+            res = self.generate_samples(
+                self.targets[j],
+                cfg.num_samples_to_save,
+                inverse_temp=beta_i,
+                annealing_factor=beta_j / beta_i,
+            )
+            samples = np.asarray(res.samples)
+            path = os.path.join(
+                self.out_dir,
+                f"samples_temperature_{self.temperatures[i]:.3f}"
+                f"_annealed_to_{self.temperatures[j]:.3f}.npz",
+            )
+            np.savez(path, samples=samples)
+            sub = samples[
+                np.random.default_rng(0).integers(0, len(samples), cfg.test_batch_size)
+            ]
+            energies = self.targets[j].log_prob(jnp.asarray(sub))
+            self.key, k_t = jax.random.split(self.key)
+            try:
+                data = self.targets[j].sample_test_set(k_t, len(sub))
+            except (ValueError, NotImplementedError):
+                data = None
+            prefix = f"test/T={self.temperatures[i]:.2f}->{self.temperatures[j]:.2f}"
+            if data is not None:
+                m = energy_distances(
+                    energies, self.targets[j].log_prob(data), prefix=prefix,
+                    energy_threshold=cfg.energy_masking_threshold,
+                )
+                if self.is_molecule:
+                    m[f"{prefix}/dist_w2"] = interatomic_dist_w2(
+                        self.targets[j], jnp.asarray(sub), data
+                    )
+                all_metrics.update(m)
+            all_metrics[f"{prefix}/energy_mean"] = float(-jnp.mean(energies))
+        if self.logger is not None:
+            self.logger.log_metrics(all_metrics, step=self.epoch)
+        return all_metrics

@@ -1,0 +1,92 @@
+"""End-to-end training smoke tests (reference tests/test_train.py capability:
+fast_dev_run, resume, ladder transitions — on the GMM toy target)."""
+
+import numpy as np
+import pytest
+
+from pita_tpu.nets import MLPBackbone
+from pita_tpu.sampler import IntegratorConfig
+from pita_tpu.schedules import ElucidatingNoiseSchedule, ConstantAnnealingSchedule
+from pita_tpu.targets import GMM40
+from pita_tpu.train import EnergyTempTrainer, TrainerConfig, LossConfig
+
+
+def _make_trainer(tmp_path, **cfg_kw):
+    gmm = GMM40(train_set_size=2000, val_set_size=512, test_set_size=512)
+    cfg = TrainerConfig(
+        temperatures=(2.0, 1.0),
+        num_epochs_per_temp=(2,),
+        n_train_batches_per_epoch=4,
+        training_batch_size=64,
+        check_val_every_n_epoch=2,
+        buffer_capacity=4096,
+        num_init_samples=512,
+        num_eval_samples=128,
+        num_temp_annealed_samples=256,
+        num_samples_to_save=128,
+        test_batch_size=128,
+        should_mean_free=False,
+        train_on_all_temps=True,
+        seed=0,
+        **cfg_kw,
+    )
+    integ = IntegratorConfig(
+        num_integration_steps=24,
+        end_resampling_step=20,
+        resampling_interval=4,
+        resample_at_end=True,
+        should_mean_free=False,
+    )
+    trainer = EnergyTempTrainer(
+        target=gmm,
+        backbone_factory=lambda: MLPBackbone(
+            out_dim=2, hidden_size=32, hidden_layers=2, emb_size=16
+        ),
+        noise_schedule=ElucidatingNoiseSchedule(sigma_min=0.01, sigma_max=10.0, rho=7.0),
+        annealing_schedule_factory=lambda af: ConstantAnnealingSchedule(annealing_factor=af),
+        loss_cfg=LossConfig(w_target_score=0.01),
+        integrator_cfg=integ,
+        cfg=cfg,
+        out_dir=str(tmp_path),
+    )
+    return trainer
+
+
+@pytest.mark.slow
+def test_fit_runs_ladder_and_fills_buffers(tmp_path, rng):
+    trainer = _make_trainer(tmp_path)
+    history = trainer.fit(max_epochs=2)
+    # rung transition at epoch 2 boundary: epoch+1 == update_temp_epoch[0]=2
+    # evaluate ran at epoch 1 ((1+1) % 2 == 0) with anneal_to_lower
+    assert trainer.epoch == 2
+    assert len(history) >= 1
+    from pita_tpu.train.buffer import buffer_view
+
+    assert int(buffer_view(trainer.buffers, 1).size) > 0, "next rung buffer not filled"
+    m = history[-1]
+    assert any("energy_w2" in k for k in m), m.keys()
+    assert np.isfinite([v for k, v in m.items() if "energy_w2" in k][0])
+
+
+@pytest.mark.slow
+def test_train_losses_decrease(tmp_path):
+    trainer = _make_trainer(tmp_path)
+    trainer.populate_initial_buffer()
+    first = trainer.train_one_epoch()
+    for _ in range(8):
+        last = trainer.train_one_epoch()
+    assert last["score_loss"] < first["score_loss"]
+    assert np.isfinite(last["loss"])
+
+
+@pytest.mark.slow
+def test_test_phase_saves_samples(tmp_path):
+    trainer = _make_trainer(tmp_path)
+    trainer.populate_initial_buffer()
+    trainer.train_one_epoch()
+    metrics = trainer.test()
+    import os
+
+    saved = [f for f in os.listdir(tmp_path) if f.startswith("samples_temperature")]
+    assert len(saved) == 1  # one ladder pair (2.0 -> 1.0)
+    assert any("energy_mean" in k for k in metrics)
