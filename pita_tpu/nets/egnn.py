@@ -16,23 +16,32 @@ axis, and there is no dynamic indexing anywhere. The diagonal (self-edges) is
 masked out, matching the reference's i≠j edge set.
 """
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
 
 class EGCL(nn.Module):
-    """One dense E_GCL layer (reference egnn_temp_conditioned.py:197-356)."""
+    """One dense E_GCL layer (reference egnn_temp_conditioned.py:197-356).
+
+    ``compute_dtype=bfloat16`` runs the edge/node MLP matmuls on the MXU in
+    bf16 (halving the dominant HBM traffic of the (B,N,N,F) edge tensors)
+    while the geometry (radials, coordinate updates, aggregation) stays f32.
+    """
 
     hidden_nf: int
     attention: bool = True
     tanh: bool = True
     coords_range: float = 15.0
     recurrent: bool = True
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, x, edge_attr, mask):
         """h: (B,N,F), x: (B,N,D), edge_attr: (B,N,N,1), mask: (N,N) off-diagonal."""
         B, N, F = h.shape
+        cd = self.compute_dtype
         diff = x[:, :, None, :] - x[:, None, :, :]  # (B,N,N,D)
         radial = jnp.sum(diff**2, axis=-1, keepdims=True)  # (B,N,N,1)
         norm = jnp.sqrt(radial + 1e-8)
@@ -40,23 +49,27 @@ class EGCL(nn.Module):
 
         h_i = jnp.broadcast_to(h[:, :, None, :], (B, N, N, F))
         h_j = jnp.broadcast_to(h[:, None, :, :], (B, N, N, F))
-        edge_in = jnp.concatenate([h_i, h_j, radial, edge_attr], axis=-1)
-        m = nn.Dense(self.hidden_nf)(edge_in)
+        edge_in = jnp.concatenate(
+            [h_i, h_j, radial.astype(h.dtype), edge_attr.astype(h.dtype)], axis=-1
+        ).astype(cd)
+        m = nn.Dense(self.hidden_nf, dtype=cd)(edge_in)
         m = nn.silu(m)
-        m = nn.Dense(self.hidden_nf)(m)
+        m = nn.Dense(self.hidden_nf, dtype=cd)(m)
         m = nn.silu(m)  # edge_mlp (:232-237)
         if self.attention:
-            att = nn.sigmoid(nn.Dense(1)(m))  # att_mlp (:259-260)
+            att = nn.sigmoid(nn.Dense(1, dtype=cd)(m))  # att_mlp (:259-260)
             m = m * att
-        m = m * mask[None, :, :, None]
+        m = m * mask[None, :, :, None].astype(cd)
 
         # coordinate update (:294-319): xavier(gain=0.001)-init final layer
-        cm = nn.silu(nn.Dense(self.hidden_nf)(m))
+        cm = nn.silu(nn.Dense(self.hidden_nf, dtype=cd)(m))
         cm = nn.Dense(
             1,
             use_bias=False,
+            dtype=cd,
             kernel_init=nn.initializers.variance_scaling(0.001**2 * 3.0, "fan_avg", "uniform"),
         )(cm)
+        cm = cm.astype(jnp.float32)
         if self.tanh:
             trans = coord_diff * jnp.tanh(cm) * self.coords_range
         else:
@@ -66,10 +79,11 @@ class EGCL(nn.Module):
 
         # node update (:281-292)
         agg = jnp.sum(m, axis=2)  # (B,N,hidden)
-        node_in = jnp.concatenate([h, agg], axis=-1)
-        out = nn.Dense(self.hidden_nf)(node_in)
+        node_in = jnp.concatenate([h.astype(cd), agg], axis=-1)
+        out = nn.Dense(self.hidden_nf, dtype=cd)(node_in)
         out = nn.silu(out)
-        out = nn.Dense(F)(out)
+        out = nn.Dense(F, dtype=cd)(out)
+        out = out.astype(h.dtype)
         if self.recurrent:
             out = h + out
         return out, x
@@ -92,6 +106,7 @@ class EGNNBackbone(nn.Module):
     tanh: bool = True
     condition_on_temperature: bool = True
     coords_range: float = 15.0
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, t: jnp.ndarray, x: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
@@ -118,6 +133,7 @@ class EGNNBackbone(nn.Module):
                 attention=self.attention,
                 tanh=self.tanh,
                 coords_range=coords_range_layer,
+                compute_dtype=self.compute_dtype,
             )(h, xc, edge_attr, mask)
 
         vel = xc - xs

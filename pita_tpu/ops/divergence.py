@@ -12,20 +12,42 @@ import jax
 import jax.numpy as jnp
 
 
-def exact_divergence(f, t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+def _chunked_vmap(single, t, x, chunk_size):
+    """vmap ``single`` over (t, x) in serial chunks of ``chunk_size`` chains.
+
+    Bounds peak memory of the D-wide tangent batch: effective batch per step
+    is chunk_size × D instead of B × D — the TPU analog of the reference's
+    ``inference_batch_size`` micro-batching (sde_integration.py:312-343),
+    except it stays inside one compiled program (lax.map, no host loop).
+    """
+    B = x.shape[0]
+    if chunk_size is None or B <= chunk_size:
+        return jax.vmap(single)(t, x)
+    pad = (-B) % chunk_size
+    tp = jnp.pad(t, (0, pad))
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    n_chunks = (B + pad) // chunk_size
+    tc = tp.reshape(n_chunks, chunk_size)
+    xc = xp.reshape(n_chunks, chunk_size, x.shape[-1])
+    out = jax.lax.map(lambda tx: jax.vmap(single)(*tx), (tc, xc))
+    return out.reshape(-1)[:B]
+
+
+def exact_divergence(f, t: jnp.ndarray, x: jnp.ndarray, chunk_size=None) -> jnp.ndarray:
     """tr(∂f/∂x) per sample; f maps (t:(B,), x:(B,D)) -> (B,D).
 
     Equivalent of ``compiled_divergence_fn`` (utils.py:30-40), forward-mode.
+    ``chunk_size`` bounds the D-wide tangent batch (see _chunked_vmap).
     """
 
     def single(ti, xi):
         jac = jax.jacfwd(lambda xx: f(ti[None], xx[None])[0])(xi)
         return jnp.trace(jac)
 
-    return jax.vmap(single)(t, x)
+    return _chunked_vmap(single, t, x, chunk_size)
 
 
-def exact_laplacian(u, t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+def exact_laplacian(u, t: jnp.ndarray, x: jnp.ndarray, chunk_size=None) -> jnp.ndarray:
     """tr(∂²U/∂x²) per sample; u maps (t:(B,), x:(B,D)) -> (B,).
 
     Equivalent of ``compute_laplacian_exact`` (utils.py:68-77), via
@@ -37,7 +59,7 @@ def exact_laplacian(u, t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         hess = jax.jacfwd(grad_u)(xi)
         return jnp.trace(hess)
 
-    return jax.vmap(single)(t, x)
+    return _chunked_vmap(single, t, x, chunk_size)
 
 
 def hutchinson_divergence(f, t: jnp.ndarray, x: jnp.ndarray, key, num_probes: int = 1):

@@ -57,6 +57,13 @@ class IntegratorConfig:
     should_mean_free: bool = True
     debias_inference: bool = True
     pin_energy: bool = False
+    # divergence estimator for the FK weight drift: "exact" (Jacobian trace,
+    # reference parity) or "hutchinson" (unbiased, O(probes) instead of O(D))
+    divergence_mode: str = "exact"
+    # chains per divergence chunk — bounds the D-wide tangent batch in HBM
+    # (TPU analog of the reference's inference_batch_size micro-batching)
+    divergence_chunk_size: int = None
+    hutchinson_probes: int = 1
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -122,7 +129,7 @@ def integrate_sde(
     def body(carry, inp):
         x, a, k = carry
         t, acc_f, frz_f, res_f = inp
-        k, k_diff, k_res = jax.random.split(k, 3)
+        k, k_diff, k_res, k_div = jax.random.split(k, 4)
 
         terms = compute_sde_terms(
             score_wrapper,
@@ -138,6 +145,10 @@ def integrate_sde(
             compute_weights=resampling_interval != -1,
             pin_energy=cfg.pin_energy,
             energy_function=target if cfg.pin_energy else None,
+            divergence_mode=cfg.divergence_mode,
+            divergence_chunk_size=cfg.divergence_chunk_size,
+            hutchinson_probes=cfg.hutchinson_probes,
+            divergence_key=k_div,
         )
         g_t = noise_schedule.g(t)
         diffusion = cfg.diffusion_scale * g_t * jax.random.normal(k_diff, x.shape, x.dtype)

@@ -27,7 +27,11 @@ from typing import Any, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from pita_tpu.ops.divergence import exact_divergence, exact_laplacian
+from pita_tpu.ops.divergence import (
+    exact_divergence,
+    exact_laplacian,
+    hutchinson_divergence,
+)
 
 
 class SDETerms(NamedTuple):
@@ -56,6 +60,10 @@ def compute_sde_terms(
     pin_energy: bool = False,
     energy_function: Any = None,
     clip_quantile: float = 0.9,
+    divergence_mode: str = "exact",
+    divergence_chunk_size: int = None,
+    hutchinson_probes: int = 1,
+    divergence_key=None,
 ) -> SDETerms:
     """Assemble drift_X and drift_A at times t (B,) for chains x (B, D)."""
     B = x.shape[0]
@@ -95,16 +103,22 @@ def compute_sde_terms(
         return SDETerms(drift_X=drift_X, drift_A=jnp.zeros((B,), x.dtype))
 
     if has_score:
-        div_st = exact_divergence(
-            lambda tt, xx: score_wrapper.score(
-                params_score, noise_schedule.h(tt), xx, beta
-            ),
-            t,
-            x,
+        score_fn = lambda tt, xx: score_wrapper.score(
+            params_score, noise_schedule.h(tt), xx, beta
         )
+        if divergence_mode == "hutchinson":
+            # unbiased trace estimate — O(probes) forwards instead of O(D);
+            # trades exactness of the FK weights for throughput
+            # (utils.py:80-96 capability)
+            assert divergence_key is not None
+            div_st = hutchinson_divergence(
+                score_fn, t, x, divergence_key, hutchinson_probes
+            )
+        else:
+            div_st = exact_divergence(score_fn, t, x, chunk_size=divergence_chunk_size)
         div_bt = div_st * g2 / 2
     else:
-        lap_U = exact_laplacian(U_of_tx, t, x)
+        lap_U = exact_laplacian(U_of_tx, t, x, chunk_size=divergence_chunk_size)
         div_bt = -lap_U * g2 / 2
 
     inner = jnp.sum(-nabla_U * bt, axis=-1)

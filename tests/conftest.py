@@ -3,11 +3,15 @@
 Mirrors the reference's distributed-without-a-cluster strategy
 (pita/tests/test_train.py:64-76 uses 2-process CPU DDP); here a single JAX
 process with 8 virtual host devices exercises mesh/psum/all_gather logic.
-Must set flags before jax initializes.
+
+Note: this environment pre-imports jax at interpreter start (sitecustomize)
+with JAX_PLATFORMS=axon, so env vars are too late — use jax.config before the
+backend initializes instead.
 """
 
 import os
 
+# keep both mechanisms: env for subprocesses, config for this process
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -15,6 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402
