@@ -478,15 +478,41 @@ class EnergyTempTrainer:
 
     # ------------------------------------------------------------------ fit
 
-    def fit(self, max_epochs: Optional[int] = None, log_every: int = 10):
-        """The training loop (train.py:106 + Lightning epoch loop)."""
+    def fit(
+        self,
+        max_epochs: Optional[int] = None,
+        log_every: int = 10,
+        ckpt_path: Optional[str] = None,
+        resume: bool = False,
+        time_checkpoint_seconds: Optional[float] = None,
+    ):
+        """The training loop (train.py:106 + Lightning epoch loop).
+
+        ``ckpt_path`` + ``resume=True`` restores and continues (extras/
+        resumable.yaml capability); the checkpoint is refreshed at every
+        validation epoch and optionally on a wall-clock interval
+        (configs/callbacks/time_checkpoint.yaml).
+        """
+        from pita_tpu.io.checkpoint import (
+            TimeIntervalCheckpointer,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
         cfg = self.cfg
         if max_epochs is None:
             max_epochs = cfg.max_epochs or (
                 int(self.update_temp_epoch[-1]) if len(self.update_temp_epoch) else 100
             )
+        if ckpt_path and resume:
+            restore_checkpoint(self, ckpt_path)
         if int(self.buffers.size[0]) == 0:
             self.populate_initial_buffer()
+        timer = (
+            TimeIntervalCheckpointer(self, ckpt_path, time_checkpoint_seconds)
+            if ckpt_path and time_checkpoint_seconds
+            else None
+        )
         while self.epoch < max_epochs:
             t0 = time.time()
             aux = self.train_one_epoch()
@@ -498,7 +524,13 @@ class EnergyTempTrainer:
                 )
             if (self.epoch + 1) % cfg.check_val_every_n_epoch == 0:
                 self.evaluate("val")
+                if ckpt_path:
+                    save_checkpoint(self, ckpt_path)
+            if timer is not None:
+                timer.maybe_save()
             self.epoch += 1
+        if ckpt_path:
+            save_checkpoint(self, ckpt_path)
         return self.metrics_history
 
     # ----------------------------------------------------------------- test
