@@ -1,0 +1,80 @@
+"""Config composition tests (reference pita/tests/test_configs.py capability:
+every experiment preset composes and instantiates)."""
+
+import pytest
+
+from pita_tpu.configs import EXPERIMENTS, compose, build_trainer, parse_overrides
+
+
+@pytest.mark.parametrize("name", [n for n in EXPERIMENTS if n != "aldp"])
+def test_every_experiment_composes_and_builds(name, tmp_path):
+    cfg = compose(name, overrides={"out_dir": str(tmp_path)}, debug="short")
+    trainer = build_trainer(cfg)
+    assert trainer.n_temps == len(cfg.trainer.temperatures)
+    assert trainer.dim == trainer.targets[0].dim
+
+
+def test_overrides_reach_nested_dataclasses(tmp_path):
+    cfg = compose(
+        "gmm",
+        overrides={
+            "trainer.training_batch_size": 17,
+            "loss.w_score": 0.25,
+            "integrator.num_integration_steps": 7,
+            "net.hidden_size": 24,
+        },
+    )
+    assert cfg.trainer.training_batch_size == 17
+    assert cfg.loss.w_score == 0.25
+    assert cfg.integrator.num_integration_steps == 7
+    assert cfg.net["hidden_size"] == 24
+
+
+def test_debug_short_overlay_shrinks_everything():
+    cfg = compose("lj13", debug="short")
+    assert cfg.integrator.num_integration_steps == 2
+    assert cfg.trainer.training_batch_size == 32
+
+
+def test_score_only_overlay():
+    cfg = compose("gmm", debug="score_only")
+    assert cfg.loss.only_train_score
+    assert not cfg.integrator.debias_inference
+
+
+def test_parse_overrides_coercion():
+    out = parse_overrides(
+        ["a.b=3", "c=1.5", "d=true", "e=null", "f=hello", "g=1,2,3"]
+    )
+    assert out == {
+        "a.b": 3, "c": 1.5, "d": True, "e": None, "f": "hello", "g": (1, 2, 3)
+    }
+
+
+def test_yaml_overlay(tmp_path):
+    p = tmp_path / "overlay.yaml"
+    p.write_text("trainer.lr: 0.01\nloss.w_energy_matching: 2.0\n")
+    cfg = compose("gmm", yaml_path=str(p))
+    assert cfg.trainer.lr == 0.01
+    assert cfg.loss.w_energy_matching == 2.0
+
+
+@pytest.mark.slow
+def test_cli_smoke(tmp_path):
+    """python -m pita_tpu.train_cli experiment=gmm debug=short (1-epoch run)."""
+    from pita_tpu import train_cli
+
+    train_cli.main(
+        [
+            "experiment=gmm",
+            "debug=short",
+            f"out_dir={tmp_path}",
+            "trainer.temperatures=2.0,1.0",
+            "trainer.num_epochs_per_temp=1,",
+            "trainer.max_epochs=1",
+            "test=false",
+        ]
+    )
+    import os
+
+    assert os.path.exists(tmp_path / "gmm" / "metrics.csv")
