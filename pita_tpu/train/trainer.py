@@ -102,6 +102,8 @@ class EnergyTempTrainer:
         logger=None,
         dem_cfg=None,
     ):
+        if dem_cfg is not None and dem_cfg.num_training_epochs != cfg.dem_num_training_epochs:
+            cfg = cfg.replace(dem_num_training_epochs=dem_cfg.num_training_epochs)
         self.cfg = cfg
         self.loss_cfg = loss_cfg
         self.integrator_cfg = integrator_cfg
@@ -161,6 +163,7 @@ class EnergyTempTrainer:
 
         self.epoch = 0
         self._train_epoch_fn = None
+        self._dem_epoch_fn = None
         self._integrate_fn_cache = {}
         self.metrics_history = []
 
@@ -320,6 +323,114 @@ class EnergyTempTrainer:
             self.ema_score, self.ema_energy, self.buffers, k_epoch, temp_idxs,
         )
         return {k: float(v) for k, v in aux.items()}
+
+    # -------------------------------------------------------- DEM pretraining
+
+    def _build_dem_epoch(self):
+        from pita_tpu.train.dem import pretrain_loss
+
+        cfg, dem = self.cfg, self.dem_cfg
+        score = self.score
+        optimizer = self.optimizer
+        n_p, n_d = self.n_particles, self.n_spatial_dim
+        is_mol, mean_free = self.is_molecule, self.mean_free
+        beta0 = float(self.inverse_temperatures[0])
+        target0 = self.targets[0]
+        n_batches = cfg.n_train_batches_per_epoch
+
+        def dem_epoch(params_s, params_e, opt_state, ema_s, ema_e, buffers, key):
+            def one_step(carry, key_t):
+                params_s, params_e, opt_state, ema_s, ema_e = carry
+                k_sample, k_aug, k_loss = jax.random.split(key_t, 3)
+                buf0 = buffer_view(buffers, 0)
+                x0, _, f0, _ = buffer_sample(buf0, k_sample, dem.training_batch_size)
+                if is_mol:
+                    x0, f0 = rotate_augment(k_aug, x0, f0, n_p, n_d)
+
+                def loss_fn(ps):
+                    return pretrain_loss(
+                        score, ps, dem, k_loss, x0, f0, beta0,
+                        target=target0, n_particles=n_p, n_spatial_dim=n_d,
+                        mean_free=mean_free,
+                    )
+
+                loss, g_s = jax.value_and_grad(loss_fn)(params_s)
+                grads = (g_s, jax.tree.map(jnp.zeros_like, params_e))
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, (params_s, params_e)
+                )
+                params_s, params_e = optax.apply_updates((params_s, params_e), updates)
+                if cfg.ema_decay > 0:
+                    ema_s = ema_update(ema_s, params_s, cfg.ema_decay)
+                    ema_e = ema_update(ema_e, params_e, cfg.ema_decay)
+                return (params_s, params_e, opt_state, ema_s, ema_e), loss
+
+            keys = jax.random.split(key, n_batches)
+            carry = (params_s, params_e, opt_state, ema_s, ema_e)
+            carry, losses = jax.lax.scan(one_step, carry, keys)
+            return carry, jnp.mean(losses)
+
+        return dem_epoch
+
+    def dem_train_one_epoch(self) -> dict:
+        """One DEM pretraining epoch (energytemp_module.py:696-701)."""
+        if self._dem_epoch_fn is None:
+            self._dem_epoch_fn = jax.jit(self._build_dem_epoch())
+        self.key, k = jax.random.split(self.key)
+        (
+            (self.params_score, self.params_energy, self.opt_state,
+             self.ema_score, self.ema_energy),
+            loss,
+        ) = self._dem_epoch_fn(
+            self.params_score, self.params_energy, self.opt_state,
+            self.ema_score, self.ema_energy, self.buffers, k,
+        )
+        return {"pretrain_target_score_loss": float(loss)}
+
+    def eval_epoch_end_dem(self, prefix: str = "val") -> dict:
+        """Plain reverse-SDE sampling to refill buffer 0 (:769-800)."""
+        dem = self.dem_cfg
+        target0 = self.targets[0]
+        cfg_dem = self.integrator_cfg.replace(
+            num_integration_steps=dem.num_integration_steps,
+            debias_inference=False,
+            resampling_interval=-1,
+            resample_at_end=False,
+            start_resampling_step=0,
+            end_resampling_step=dem.num_integration_steps,
+        )
+        res = self.generate_samples(
+            target0,
+            dem.num_samples_to_generate_per_epoch,
+            inverse_temp=float(self.inverse_temperatures[0]),
+            annealing_factor=1.0,
+            integrator_cfg=cfg_dem,
+        )
+        samples = res.samples
+        energies, forces = target0.log_prob_and_force(samples)
+        buf0 = buffer_add(buffer_view(self.buffers, 0), samples, energies, forces)
+        self.buffers = buffer_set(self.buffers, 0, buf0)
+        metrics = {f"{prefix}/dem/energy_mean": float(-jnp.mean(energies))}
+        self.key, k_val = jax.random.split(self.key)
+        try:
+            data = target0.sample_val_set(k_val, samples.shape[0])
+        except (ValueError, NotImplementedError):
+            data = None
+        if data is not None:
+            metrics.update(
+                energy_distances(
+                    energies, target0.log_prob(data), prefix=f"{prefix}/dem",
+                    energy_threshold=self.cfg.energy_masking_threshold,
+                )
+            )
+            if self.is_molecule:
+                metrics[f"{prefix}/dem/dist_w2"] = interatomic_dist_w2(
+                    target0, samples, data
+                )
+        if self.logger is not None:
+            self.logger.log_metrics(metrics, step=self.epoch)
+        self.metrics_history.append(dict(metrics, epoch=self.epoch))
+        return metrics
 
     # -------------------------------------------------------------- sampling
 
@@ -513,16 +624,25 @@ class EnergyTempTrainer:
             if ckpt_path and time_checkpoint_seconds
             else None
         )
+        dem_epochs = cfg.dem_num_training_epochs
         while self.epoch < max_epochs:
             t0 = time.time()
-            aux = self.train_one_epoch()
+            in_dem_phase = self.dem_cfg is not None and self.epoch < dem_epochs
+            aux = self.dem_train_one_epoch() if in_dem_phase else self.train_one_epoch()
             dt = time.time() - t0
             if self.logger is not None and (self.epoch % log_every == 0):
                 self.logger.log_metrics(
                     {f"train/{k}": v for k, v in aux.items()} | {"train/epoch_s": dt},
                     step=self.epoch,
                 )
-            if (self.epoch + 1) % cfg.check_val_every_n_epoch == 0:
+            if in_dem_phase:
+                # DEM eval/refill cadence (energytemp_module.py:725-732)
+                if (
+                    self.epoch % self.dem_cfg.check_val_every_n_epochs == 0
+                    and self.epoch > 0
+                ):
+                    self.eval_epoch_end_dem("val")
+            elif (self.epoch + 1) % cfg.check_val_every_n_epoch == 0:
                 self.evaluate("val")
                 if ckpt_path:
                     save_checkpoint(self, ckpt_path)
