@@ -576,7 +576,35 @@ class EnergyTempTrainer:
         if self.logger is not None:
             self.logger.log_metrics(metrics, step=self.epoch)
         self.metrics_history.append(dict(metrics, epoch=self.epoch))
+        if self.make_plots:
+            self._make_eval_plots(res, res_nores, target_lower, samples, energies, data)
         return metrics
+
+    make_plots: bool = False
+
+    def _make_eval_plots(self, res, res_nores, target, samples, energies, data):
+        """Reference evaluation figures (§5.5) saved under out_dir/plots."""
+        from pita_tpu.io import plotting as P
+
+        pdir = os.path.join(self.out_dir, "plots", f"epoch_{self.epoch}")
+        if data is not None:
+            P.plot_energy_histograms(
+                energies,
+                target.log_prob(data),
+                pdir,
+                not_resampled_energies=target.log_prob(res_nores.samples),
+            )
+            if self.is_molecule:
+                P.plot_interatomic_distances(target, samples, data, pdir)
+        if getattr(target, "name", "") == "gmm":
+            P.plot_gmm_contours(target, samples, pdir)
+        if hasattr(target, "dihedrals"):
+            phi, psi = target.dihedrals(samples)
+            P.plot_ramachandran(phi, psi, pdir, temperature=target.temperature)
+        P.plot_logweights(res_nores.logweights, pdir)
+        P.plot_num_unique(res.num_unique, pdir)
+        P.plot_acceptance(res.acceptance_rates, pdir)
+        P.plot_sde_term_stats(res.term_stats, pdir)
 
     def _reinitialize_networks(self):
         """Fresh backbone params at a rung transition (:913-920)."""
