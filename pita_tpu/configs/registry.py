@@ -339,6 +339,10 @@ def _build_backbone_factory(spec: dict, target):
             n_spatial_dim=target.n_spatial_dim,
             **spec,
         )
+    if kind == "torchmd_et":
+        from pita_tpu.nets import TorchMDETBackbone
+
+        return lambda: TorchMDETBackbone(n_particles=target.n_particles, **spec)
     raise ValueError(f"unknown net kind {kind}")
 
 

@@ -1,0 +1,211 @@
+"""TorchMD-ET-style equivariant transformer backbone, dense TPU formulation.
+
+Reference parity: ``pita/src/models/components/torchmd_net/`` —
+``EquivariantMultiHeadAttention`` (model_dynamics.py:19-235: scalar features x
+and per-node vector features vec; per-edge dot-product attention modulated by
+ExpNormal-RBF-projected distances and a cosine cutoff; value pathway splits
+into scalar/vector channels with an optional SO(3) cross-product term),
+``TorchMDDynamics`` (:500-833: t and β embedded and mixed into node features,
+amber-style atom-type one-hots for peptides, equivariant-vector output head =
+mean-free displacement) and the gated equivariant output blocks
+(modules.py:26-155). Config defaults from configs/model/net/torchmdnet_temp.yaml.
+
+TPU-first: the reference scatters messages over an explicit edge list
+(MessagePassing); here edges live dense as (B, N, N, H, D) attention tensors —
+batched matmuls + masked sums, no gather/scatter (N ≤ 64 ⇒ MXU tiles).
+"""
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ExpNormalSmearing(nn.Module):
+    """Exp-normal radial basis (torchmd_net/utils.py:81-113), fixed params."""
+
+    num_rbf: int = 32
+    cutoff_lower: float = 0.0
+    cutoff_upper: float = 5.0
+
+    def __call__(self, dist):
+        alpha = 5.0 / (self.cutoff_upper - self.cutoff_lower)
+        start = jnp.exp(-self.cutoff_upper + self.cutoff_lower)
+        means = jnp.linspace(start, 1.0, self.num_rbf)
+        betas = jnp.full((self.num_rbf,), (2.0 / self.num_rbf * (1.0 - start)) ** -2)
+        d = dist[..., None]
+        return jnp.exp(-betas * (jnp.exp(alpha * (-d + self.cutoff_lower)) - means) ** 2)
+
+
+def cosine_cutoff(dist, lower=0.0, upper=5.0):
+    """(utils.py:129-150)."""
+    c = 0.5 * (jnp.cos(dist * np.pi / upper) + 1.0)
+    return jnp.where(dist < upper, c, 0.0)
+
+
+class EquivariantMHA(nn.Module):
+    """Dense equivariant multi-head attention layer (model_dynamics.py:19-235)."""
+
+    hidden: int
+    num_heads: int
+    num_rbf: int
+    cutoff_upper: float
+    qk_norm: bool = True
+    so3_equivariant: bool = True
+    node_attr_dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, vec, pos, f_ij, r_ij, d_ij, node_attr, mask):
+        """x:(B,N,F), vec:(B,N,3,F), f_ij:(B,N,N,rbf), r_ij:(B,N,N),
+        d_ij:(B,N,N,3), node_attr:(B,N,A), mask:(N,N)."""
+        B, N, F = x.shape
+        H = self.num_heads
+        D = F // H
+
+        # mix node features with (t, β) conditioning (:124-126)
+        h = jnp.concatenate([x, node_attr], axis=-1)
+        h = nn.Dense(F)(h)
+        h = nn.silu(h)
+        h = nn.Dense(F)(h)
+        h = nn.LayerNorm()(h)
+
+        q = nn.Dense(F)(h)
+        k = nn.Dense(F)(h)
+        if self.qk_norm:
+            q = nn.LayerNorm()(q)
+            k = nn.LayerNorm()(k)
+        n_v = 3 + int(self.so3_equivariant)
+        v = nn.Dense(F * n_v)(h)
+
+        vec1, vec2, vec3 = jnp.split(nn.Dense(3 * F, use_bias=False)(vec), 3, axis=-1)
+        vec_dot = jnp.sum(vec1 * vec2, axis=-2)  # (B,N,F)
+
+        dk = nn.silu(nn.Dense(F)(f_ij))  # (B,N,N,F)
+        dv = nn.silu(nn.Dense(F * n_v)(f_ij))
+
+        q = q.reshape(B, N, H, D)
+        k = k.reshape(B, N, H, D)
+        v = v.reshape(B, N, H, n_v * D)
+        dk = dk.reshape(B, N, N, H, D)
+        dv = dv.reshape(B, N, N, H, n_v * D)
+
+        # per-edge attention score: Σ_d q_i k_j dk_ij (:191-196)
+        attn = jnp.einsum("bihd,bjhd,bijhd->bijh", q, k, dk)
+        attn = nn.silu(attn) * cosine_cutoff(r_ij, upper=self.cutoff_upper)[..., None]
+        attn = attn * mask[None, :, :, None]
+
+        # value pathway (:198-218): attention gates only the scalar messages;
+        # vector messages are weighted by the dv-modulated value channels
+        v_j = v[:, None, :, :, :] * dv  # (B,N,N,H,n_v*D)
+        splits = jnp.split(v_j, n_v, axis=-1)
+        xs, w1, w2 = splits[0], splits[1], splits[2]
+        xs = xs * attn[..., None] * mask[None, :, :, None, None]
+        vec_j = jnp.broadcast_to(
+            vec.reshape(B, 1, N, 3, H, D), (B, N, N, 3, H, D)
+        )
+        vmsg = vec_j * w1[:, :, :, None] + w2[:, :, :, None] * d_ij[..., None, None]
+        if self.so3_equivariant:
+            w3 = splits[3]
+            d_exp = jnp.broadcast_to(d_ij[..., None, None], (B, N, N, 3, H, D))
+            vmsg = vmsg + w3[:, :, :, None] * jnp.cross(d_exp, vec_j, axis=3)
+        vmsg = vmsg * mask[None, :, :, None, None, None]
+
+        dx_agg = jnp.sum(xs, axis=2).reshape(B, N, F)
+        dvec_agg = jnp.sum(vmsg, axis=2).reshape(B, N, 3, F)
+
+        o1, o2, o3 = jnp.split(nn.Dense(3 * F)(dx_agg), 3, axis=-1)
+        dvec = vec3 * o1[:, :, None, :] + dvec_agg
+        dx = vec_dot * o2 + o3
+        return x + dx, vec + dvec
+
+
+class GatedEquivariantBlock(nn.Module):
+    """(modules.py GatedEquivariantBlock)."""
+
+    out_channels: int
+    vector_output: bool = False
+
+    @nn.compact
+    def __call__(self, x, vec):
+        B, N, _, F = vec.shape
+        v1 = nn.Dense(self.out_channels, use_bias=False)(vec)
+        v2 = nn.Dense(self.out_channels, use_bias=False)(vec)
+        v1_norm = jnp.linalg.norm(v1, axis=-2)
+        h = jnp.concatenate([x, v1_norm], axis=-1)
+        h = nn.Dense(self.out_channels)(h)
+        h = nn.silu(h)
+        h = nn.Dense(2 * self.out_channels)(h)
+        xo, gate = jnp.split(h, 2, axis=-1)
+        vec_out = v2 * gate[:, :, None, :]
+        if not self.vector_output:
+            xo = nn.silu(xo)
+        return xo, vec_out
+
+
+class TorchMDETBackbone(nn.Module):
+    """forward(t, x_flat, beta) -> mean-free displacement (B, N*3)."""
+
+    n_particles: int
+    n_spatial_dim: int = 3
+    hidden: int = 32
+    n_layers: int = 6
+    num_heads: int = 1
+    num_rbf: int = 32
+    cutoff_upper: float = 5.0
+    qk_norm: bool = True
+    so3_equivariant: bool = True
+    condition_on_temperature: bool = True
+    atom_types: Optional[tuple] = None  # per-particle int types (peptides)
+
+    @nn.compact
+    def __call__(self, t, x, beta):
+        B = x.shape[0]
+        N = self.n_particles
+        pos = x.reshape(B, N, 3)
+        t = jnp.broadcast_to(jnp.asarray(t, x.dtype).reshape(-1), (B,))
+        mask = 1.0 - jnp.eye(N, dtype=x.dtype)
+
+        diff = pos[:, :, None, :] - pos[:, None, :, :]
+        r2 = jnp.sum(diff**2, axis=-1)
+        r_ij = jnp.sqrt(jnp.where(jnp.eye(N, dtype=bool), 1.0, r2))
+        d_ij = diff / (r_ij[..., None] + 1e-9)
+        f_ij = ExpNormalSmearing(self.num_rbf, cutoff_upper=self.cutoff_upper)(r_ij)
+
+        # initial node features: atom-type one-hot for peptides
+        # (model_dynamics.py:655-744), zeros for LJ clusters
+        if self.atom_types is not None:
+            onehot = jax.nn.one_hot(
+                jnp.asarray(self.atom_types), int(max(self.atom_types)) + 1
+            )
+            h0 = jnp.broadcast_to(onehot[None], (B, N, onehot.shape[-1]))
+        else:
+            h0 = jnp.zeros((B, N, 1), x.dtype)
+        xfeat = nn.Dense(self.hidden)(h0)
+        vec = jnp.zeros((B, N, 3, self.hidden), x.dtype)
+
+        # (t, β) node conditioning
+        attrs = [jnp.broadcast_to(t[:, None, None], (B, N, 1))]
+        if self.condition_on_temperature:
+            beta = jnp.broadcast_to(jnp.asarray(beta, x.dtype).reshape(-1), (B,))
+            attrs.append(jnp.broadcast_to(beta[:, None, None], (B, N, 1)))
+        node_attr = nn.Dense(self.hidden)(jnp.concatenate(attrs, axis=-1))
+
+        for _ in range(self.n_layers):
+            xfeat, vec = EquivariantMHA(
+                hidden=self.hidden,
+                num_heads=self.num_heads,
+                num_rbf=self.num_rbf,
+                cutoff_upper=self.cutoff_upper,
+                qk_norm=self.qk_norm,
+                so3_equivariant=self.so3_equivariant,
+            )(xfeat, vec, pos, f_ij, r_ij, d_ij, node_attr, mask)
+
+        # equivariant vector head (modules.py EquivariantVectorOutput)
+        xfeat, vec = GatedEquivariantBlock(self.hidden // 2)(xfeat, vec)
+        xfeat, vec = GatedEquivariantBlock(1, vector_output=True)(xfeat, vec)
+        out = vec[..., 0]  # (B,N,3)
+        out = out - jnp.mean(out, axis=1, keepdims=True)
+        return out.reshape(B, N * 3)
+

@@ -118,6 +118,67 @@ def buffer_set(bufs: ReplayBuffer, i: int, buf: ReplayBuffer) -> ReplayBuffer:
     return jax.tree.map(lambda a, b: a.at[i].set(b), bufs, buf)
 
 
+class PrioritisedBuffer(NamedTuple):
+    """FAB-style (x, log_w, log_q) buffer (prioritised_replay_buffer.py:49-221).
+
+    Samples with probability ∝ exp(log_w) via Gumbel-top-k *without*
+    replacement (:36-46); ``adjust`` rescales stored log-weights after a
+    flow/params update and invalidates entries whose adjusted weight is
+    non-finite (:178-198). DEM/FAB heritage — not on the PITA main path.
+    """
+
+    x: jnp.ndarray
+    log_w: jnp.ndarray
+    log_q: jnp.ndarray
+    pos: jnp.ndarray
+    size: jnp.ndarray
+
+
+def prioritised_init(capacity: int, dim: int, dtype=jnp.float32) -> PrioritisedBuffer:
+    return PrioritisedBuffer(
+        x=jnp.zeros((capacity, dim), dtype),
+        log_w=jnp.full((capacity,), -jnp.inf, dtype),
+        log_q=jnp.zeros((capacity,), dtype),
+        pos=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+def prioritised_add(buf: PrioritisedBuffer, x, log_w, log_q) -> PrioritisedBuffer:
+    n = x.shape[0]
+    cap = buf.x.shape[0]
+    idx = (buf.pos + jnp.arange(n)) % cap
+    return PrioritisedBuffer(
+        x=buf.x.at[idx].set(x),
+        log_w=buf.log_w.at[idx].set(log_w),
+        log_q=buf.log_q.at[idx].set(log_q),
+        pos=(buf.pos + n) % cap,
+        size=jnp.minimum(buf.size + n, cap),
+    )
+
+
+def prioritised_sample(buf: PrioritisedBuffer, key, batch_size: int):
+    """Gumbel-top-k: k draws ∝ softmax(log_w) without replacement (:36-46)."""
+    valid = jnp.arange(buf.x.shape[0]) < buf.size
+    logits = jnp.where(valid, buf.log_w, -jnp.inf)
+    g = jax.random.gumbel(key, logits.shape)
+    _, idx = jax.lax.top_k(logits + g, batch_size)
+    return buf.x[idx], buf.log_w[idx], buf.log_q[idx], idx
+
+
+def prioritised_adjust(buf: PrioritisedBuffer, log_q_new, idx=None) -> PrioritisedBuffer:
+    """Re-weight after a proposal update: w ← w + (q_old - q_new) in log space;
+    kill entries whose adjusted weight is non-finite (:178-198)."""
+    if idx is None:
+        idx = jnp.arange(buf.x.shape[0])
+    log_w_new = buf.log_w[idx] + buf.log_q[idx] - log_q_new
+    log_w_new = jnp.where(jnp.isfinite(log_w_new), log_w_new, -jnp.inf)
+    return buf._replace(
+        log_w=buf.log_w.at[idx].set(log_w_new),
+        log_q=buf.log_q.at[idx].set(log_q_new),
+    )
+
+
 def buffer_save(buf: ReplayBuffer, path: str):
     """Persist to .npz (SimpleBuffer.save, :389-399)."""
     import numpy as np

@@ -89,3 +89,23 @@ def test_stacked_buffers_dynamic_view(rng):
     # write-back
     stacked = buffer_set(stacked, 2, buffer_add(buffer_view(stacked, 2), jnp.zeros((2, 2)), jnp.zeros(2)))
     assert int(buffer_view(stacked, 2).size) == 2
+
+
+def test_prioritised_buffer_gumbel_topk(rng):
+    from pita_tpu.train.buffer import (
+        prioritised_init,
+        prioritised_add,
+        prioritised_sample,
+        prioritised_adjust,
+    )
+
+    buf = prioritised_init(64, 2)
+    x = jnp.arange(32, dtype=jnp.float32).reshape(16, 2)
+    log_w = jnp.concatenate([jnp.zeros(8), jnp.full((8,), -100.0)])
+    buf = prioritised_add(buf, x, log_w, jnp.zeros(16))
+    xs, lw, lq, idx = prioritised_sample(buf, rng, 8)
+    # without replacement + dominant weights => exactly the 8 high-weight rows
+    assert sorted(np.asarray(idx).tolist()) == list(range(8))
+    # adjust: new log_q increases => weights shift; non-finite killed
+    buf = prioritised_adjust(buf, jnp.full((64,), jnp.inf))
+    assert bool(jnp.all(buf.log_w == -jnp.inf))
