@@ -64,6 +64,8 @@ class IntegratorConfig:
     # (TPU analog of the reference's inference_batch_size micro-batching)
     divergence_chunk_size: int = None
     hutchinson_probes: int = 1
+    # FK weight-drift clamp quantile (sdes.py:230 clamps at 0.9; 1.0 = off)
+    weight_clip_quantile: float = 0.9
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -149,6 +151,7 @@ def integrate_sde(
             divergence_chunk_size=cfg.divergence_chunk_size,
             hutchinson_probes=cfg.hutchinson_probes,
             divergence_key=k_div,
+            clip_quantile=cfg.weight_clip_quantile,
         )
         g_t = noise_schedule.g(t)
         diffusion = cfg.diffusion_scale * g_t * jax.random.normal(k_diff, x.shape, x.dtype)

@@ -128,8 +128,9 @@ def compute_sde_terms(
         + gamma * dU_dt
         + annealing_schedule.dgamma_dt(t) * U
     )
-    # clip the weight drift at its batch 0.9-quantile (sdes.py:230)
-    drift_A = jnp.minimum(drift_A, jnp.quantile(drift_A, clip_quantile))
+    # clip the weight drift at its batch 0.9-quantile (sdes.py:230); 1.0 = off
+    if clip_quantile < 1.0:
+        drift_A = jnp.minimum(drift_A, jnp.quantile(drift_A, clip_quantile))
 
     return SDETerms(
         drift_X=jax.lax.stop_gradient(drift_X),

@@ -102,6 +102,54 @@ class GMM40(Target):
         return self._make_set("test")
 
 
+def noised_gmm_log_prob(gmm: GMM40, ht, x):
+    """log density of the VE-noised GMM: convolving a diagonal-Gaussian
+    mixture with N(0, h I) just widens each component to sqrt(s² + h).
+
+    ht: (B,) per-sample noise variances; x: (B, D). Exact at every t — the
+    analytic oracle used to validate the annealed FK sampler end-to-end
+    without training.
+    """
+    ht = jnp.asarray(ht).reshape(-1, 1, 1)
+    scales = jnp.sqrt(gmm.scales[None] ** 2 + ht)  # (B, K, D)
+    xk = x[:, None, :]
+    d = x.shape[-1]
+    z = (xk - gmm.locs[None]) / scales
+    comp_lp = (
+        -0.5 * jnp.sum(z**2, axis=-1)
+        - jnp.sum(jnp.log(scales), axis=-1)
+        - 0.5 * d * math.log(2 * math.pi)
+    )
+    logw = jax.nn.log_softmax(gmm.log_weights)
+    return jax.scipy.special.logsumexp(comp_lp + logw[None], axis=-1)
+
+
+class GMMScoreOracle:
+    """Duck-typed ScoreWrapper with the exact noised-GMM score."""
+
+    def __init__(self, gmm: GMM40):
+        self.gmm = gmm
+
+    def score(self, params, ht, xt, beta):
+        ht = jnp.broadcast_to(jnp.asarray(ht, xt.dtype).reshape(-1), (xt.shape[0],))
+        return jax.grad(lambda x: jnp.sum(noised_gmm_log_prob(self.gmm, ht, x)))(xt)
+
+    def denoiser(self, params, ht, xt, beta):
+        ht = jnp.broadcast_to(jnp.asarray(ht, xt.dtype).reshape(-1), (xt.shape[0],))
+        return xt + ht[:, None] * self.score(params, ht, xt, beta)
+
+
+class GMMEnergyOracle:
+    """Duck-typed EnergyWrapper with the exact noised-GMM energy."""
+
+    def __init__(self, gmm: GMM40):
+        self.gmm = gmm
+
+    def energy(self, params, ht, xt, beta, **kw):
+        ht = jnp.broadcast_to(jnp.asarray(ht, xt.dtype).reshape(-1), (xt.shape[0],))
+        return -noised_gmm_log_prob(self.gmm, ht, xt)
+
+
 def gmm_product(a: GMM40, b: GMM40, prune: float = 1e-4) -> GMM40:
     """Exact product density of two GMMs (gmm_energy.py:279-338).
 

@@ -1,0 +1,93 @@
+"""End-to-end annealed-sampler acceptance on the multimodal GMM, without
+training: exact noised-GMM score/energy oracles drive the full FK sampler
+from p (GMM-40) to p^2 (the exact tempered product), validating drift
+assembly + weights + resampling on the real algorithm — and comparing the
+exact score-divergence against the Hutchinson estimator (the fast mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pita_tpu.metrics.distances import wasserstein2_exact
+from pita_tpu.sampler import IntegratorConfig, integrate_sde
+from pita_tpu.schedules import ElucidatingNoiseSchedule, ConstantAnnealingSchedule
+from pita_tpu.targets import GMM40, gmm_power
+from pita_tpu.targets.gmm import GMMScoreOracle, GMMEnergyOracle
+
+SCHED = ElucidatingNoiseSchedule(sigma_min=0.01, sigma_max=80.0, rho=7.0)
+
+
+def _run_annealed(rng, divergence_mode, n_chains=2048, probes=1, post_mcmc=0):
+    base = GMM40()
+    target = gmm_power(base, 2)  # exact p²
+    anneal = ConstantAnnealingSchedule(annealing_factor=2.0)
+    cfg = IntegratorConfig(
+        num_integration_steps=1000,
+        end_resampling_step=930,
+        resampling_interval=1,
+        resample_at_end=True,
+        should_mean_free=False,
+        divergence_mode=divergence_mode,
+        hutchinson_probes=probes,
+        post_mcmc_steps=post_mcmc,
+        adaptive_mcmc=True,
+        dt_negative_time=1e-2,
+    )
+    scale = float(np.sqrt(SCHED.h(jnp.asarray(1.0)) / 2.0))
+    k_prior, k_int = jax.random.split(rng)
+    x1 = jax.random.normal(k_prior, (n_chains, 2)) * scale
+    res = integrate_sde(
+        k_int, x1, GMMScoreOracle(base), GMMEnergyOracle(base), {}, {},
+        SCHED, anneal, target, 1.0, cfg,
+    )
+    return res, target
+
+
+def _tempered_stats(samples, target, base):
+    """Within-mode variance + mode-occupancy TV vs exact tempered samples."""
+    locs = np.asarray(base.locs)
+    s = np.asarray(samples)
+    m = ((s[:, None, :] - locs[None]) ** 2).sum(-1).argmin(1)
+    within_var = ((s - locs[m]) ** 2).mean()
+    occ = np.bincount(m, minlength=len(locs)) / len(s)
+    return within_var, occ
+
+
+@pytest.mark.slow
+def test_annealed_gmm_exact_divergence_matches_tempered_target(rng):
+    base = GMM40()
+    res, target = _run_annealed(rng, "exact")
+    ref = target.sample(jax.random.fold_in(rng, 9), res.samples.shape[0])
+    # within-mode variance must be the *tempered* width (sharp discriminator:
+    # base = 1.725, p² = 0.863 — the annealing halves it)
+    var_gen, occ_gen = _tempered_stats(res.samples, target, base)
+    var_ref, occ_ref = _tempered_stats(ref, target, base)
+    np.testing.assert_allclose(var_gen, var_ref, rtol=0.13)
+    assert abs(var_gen - 2 * var_ref) > 0.5  # clearly not the base width
+    # mode occupancies track the exact tempered mixture (finite-ensemble SMC
+    # noise allows some TV; the base-vs-p² occupancies differ much more)
+    assert 0.5 * np.abs(occ_gen - occ_ref).sum() < 0.3
+    w2 = wasserstein2_exact(np.asarray(res.samples)[:1024], np.asarray(ref)[:1024])
+    assert w2 < 12.0, f"W2 to exact tempered GMM: {w2}"
+
+
+@pytest.mark.slow
+def test_hutchinson_with_mala_matches_exact_quality(rng):
+    """The fast pipeline: O(1) Hutchinson FK weights + MALA refinement (the
+    reference's own post-processing, sde_integration.py:362-470) reaches the
+    same tempered-target quality as exact divergence at ~D× less weight cost.
+
+    (Hutchinson *without* MALA under-shoots the tempered mode width by ~15%
+    on this stress test — heavy-tailed weight noise biases the per-step
+    resampling selection; MALA closes the gap to <3%.)
+    """
+    base = GMM40()
+    res_h, target = _run_annealed(rng, "hutchinson", post_mcmc=30)
+    ref = target.sample(jax.random.fold_in(rng, 9), res_h.samples.shape[0])
+    var_gen, occ_gen = _tempered_stats(res_h.samples, target, base)
+    var_ref, occ_ref = _tempered_stats(ref, target, base)
+    np.testing.assert_allclose(var_gen, var_ref, rtol=0.1)
+    assert 0.5 * np.abs(occ_gen - occ_ref).sum() < 0.3
+    w2_h = wasserstein2_exact(np.asarray(res_h.samples)[:1024], np.asarray(ref)[:1024])
+    assert w2_h < 12.0, f"hutchinson W2: {w2_h}"
