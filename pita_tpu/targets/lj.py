@@ -73,6 +73,7 @@ class LennardJones(Target):
         range_max: float = 2.0,
         temperature: float = 1.0,
         data_dir: str = None,
+        use_pallas: bool = False,
     ):
         self.n_particles = n_particles
         self.dim = n_particles * 3
@@ -86,6 +87,7 @@ class LennardJones(Target):
         self.temperature = float(temperature)
         self.name = f"lj{n_particles}"
         self.data_dir = data_dir
+        self.use_pallas = use_pallas and not smooth  # kernel covers raw LJ only
         if smooth:
             knots, coeffs = _fit_smoothing_spline(eps, rm, range_min, range_max)
             self._knots = jnp.asarray(knots)
@@ -111,6 +113,18 @@ class LennardJones(Target):
 
     def log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
         return -self.energy(x) / self.temperature
+
+    def log_prob_and_force(self, x: jnp.ndarray):
+        if self.use_pallas and x.ndim == 2:
+            from pita_tpu.ops.pallas.lj import lj_log_prob_and_force
+
+            return lj_log_prob_and_force(
+                x, self.n_particles, eps=self.eps, rm=self.rm,
+                oscillator_scale=self.oscillator_scale if self.oscillator else 0.0,
+                energy_factor=self.energy_factor, temperature=self.temperature,
+                block_b=64,
+            )
+        return super().log_prob_and_force(x)
 
     # ---- datasets: load from data_dir (reference .npy convention) or MCMC-generate ----
 

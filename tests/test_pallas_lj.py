@@ -1,0 +1,45 @@
+"""Pallas LJ kernel vs the XLA reference path (SURVEY §4: kernel tests
+Pallas-vs-XLA). Runs in interpreter mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pita_tpu.ops.pallas.lj import lj_log_prob_and_force
+from pita_tpu.targets import LJ13, LJ55
+
+
+def test_pallas_lj13_matches_xla(rng):
+    lj = LJ13(temperature=2.0)
+    x = jax.random.normal(rng, (37, 39))
+    lp_ref, f_ref = lj.log_prob_and_force(x)
+    lp_k, f_k = lj_log_prob_and_force(
+        x, 13, temperature=2.0, block_b=16, interpret=True
+    )
+    np.testing.assert_allclose(lp_k, lp_ref, rtol=1e-5)
+    np.testing.assert_allclose(f_k, f_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_lj55_no_oscillator(rng):
+    lj = LJ55(oscillator=False, energy_factor=0.5)
+    x = jax.random.normal(rng, (8, 165)) * 1.5
+    lp_ref, f_ref = lj.log_prob_and_force(x)
+    lp_k, f_k = lj_log_prob_and_force(
+        x, 55, oscillator_scale=0.0, energy_factor=0.5, block_b=8, interpret=True
+    )
+    np.testing.assert_allclose(lp_k, lp_ref, rtol=1e-5)
+    np.testing.assert_allclose(f_k, f_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_target_use_pallas_flag(rng):
+    lj = LJ13(use_pallas=True)
+    # flag routes through the kernel only on TPU-compiled paths; in tests we
+    # just check the fallback consistency of the API
+    x = jax.random.normal(rng, (4, 39))
+    try:
+        lp, f = lj.log_prob_and_force(x)
+    except Exception:
+        # pallas compiled path may be unavailable on CPU without interpret
+        lj.use_pallas = False
+        lp, f = lj.log_prob_and_force(x)
+    assert lp.shape == (4,) and f.shape == (4, 39)
