@@ -107,6 +107,10 @@ class EGNNBackbone(nn.Module):
     condition_on_temperature: bool = True
     coords_range: float = 15.0
     compute_dtype: Any = jnp.float32
+    # per-particle integer types appended as one-hot node features — the
+    # molecule-aware variants (egnn_aldp.py:53-80 hard-codes peptide
+    # groupings; egnn_dynamics_ad2_cat.py embeds categorical atom types)
+    atom_types: Any = None
 
     @nn.compact
     def __call__(self, t: jnp.ndarray, x: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
@@ -118,6 +122,13 @@ class EGNNBackbone(nn.Module):
         if self.condition_on_temperature:
             beta = jnp.broadcast_to(jnp.asarray(beta, x.dtype).reshape(-1), (B,))
             feats.append(jnp.broadcast_to(beta[:, None, None], (B, N, 1)))
+        if self.atom_types is not None:
+            import jax
+
+            onehot = jax.nn.one_hot(
+                jnp.asarray(self.atom_types), int(max(self.atom_types)) + 1, dtype=x.dtype
+            )
+            feats.append(jnp.broadcast_to(onehot[None], (B, N, onehot.shape[-1])))
         h = jnp.concatenate(feats, axis=-1)
         h = nn.Dense(self.hidden_nf)(h)  # embedding (:152)
 

@@ -96,6 +96,34 @@ class Target:
     def sample_test_set(self, key, num: int):
         return self._sample_set("test", key, num)
 
+    # ---- normalization (base_energy_function.py:53-98) ----
+
+    normalization_min: Optional[float] = None
+    normalization_max: Optional[float] = None
+    data_normalization_factor: float = 1.0
+    should_normalize: bool = False
+
+    def normalize(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Affine map to [-1, 1] (non-molecules) or mean-free + scale
+        (molecules), matching the reference's dataset normalization."""
+        if self.is_molecule:
+            from pita_tpu.utils.mean_free import remove_mean
+
+            x = remove_mean(x, self.n_particles, self.n_spatial_dim)
+            return x / self.data_normalization_factor
+        mins, maxs = self.normalization_min, self.normalization_max
+        if mins is None or maxs is None:
+            return x
+        return 2.0 * (x - mins) / (maxs - mins) - 1.0
+
+    def unnormalize(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.is_molecule:
+            return x * self.data_normalization_factor
+        mins, maxs = self.normalization_min, self.normalization_max
+        if mins is None or maxs is None:
+            return x
+        return 0.5 * (x + 1.0) * (maxs - mins) + mins
+
     # ---- geometry helpers (molecules) ----
 
     def interatomic_dist(self, x: jnp.ndarray) -> jnp.ndarray:
