@@ -96,7 +96,7 @@ def _gmm() -> dict:
     return dict(
         name="gmm",
         tags=("GMM",),
-        energy=dict(kind="gmm"),
+        energy=dict(kind="gmm", normalized=True),
         net=dict(kind="mlp", hidden_size=128, hidden_layers=3, emb_size=128),
         noise_schedule=dict(kind="elucidating", sigma_min=0.01, sigma_max=80.0, rho=7.0),
         annealing_schedule=dict(kind="constant"),

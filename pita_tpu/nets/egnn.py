@@ -39,7 +39,14 @@ class EGCL(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, edge_attr, mask):
-        """h: (B,N,F), x: (B,N,D), edge_attr: (B,N,N,1), mask: (N,N) off-diagonal."""
+        """h: (B,N,F), x: (B,N,D), edge_attr: (B,N,N,1), mask: (N,N) off-diagonal.
+
+        The first edge-MLP layer is *node-factored*: instead of materializing
+        the (B,N,N,2F+2) concat input (the reference's edge_mlp input,
+        :232-237), project h once per node with two Dense maps and broadcast
+        — mathematically the same linear layer, but the O(N²)-sized matmul
+        input (and its tangent batch under jacfwd) never exists.
+        """
         B, N, F = h.shape
         cd = self.compute_dtype
         diff = x[:, :, None, :] - x[:, None, :, :]  # (B,N,N,D)
@@ -47,12 +54,13 @@ class EGCL(nn.Module):
         norm = jnp.sqrt(radial + 1e-8)
         coord_diff = diff / (norm + 1.0)  # (:348-356)
 
-        h_i = jnp.broadcast_to(h[:, :, None, :], (B, N, N, F))
-        h_j = jnp.broadcast_to(h[:, None, :, :], (B, N, N, F))
-        edge_in = jnp.concatenate(
-            [h_i, h_j, radial.astype(h.dtype), edge_attr.astype(h.dtype)], axis=-1
-        ).astype(cd)
-        m = nn.Dense(self.hidden_nf, dtype=cd)(edge_in)
+        hc = h.astype(cd)
+        src = nn.Dense(self.hidden_nf, dtype=cd)(hc)  # h_i contribution
+        dst = nn.Dense(self.hidden_nf, dtype=cd, use_bias=False)(hc)  # h_j
+        scal = nn.Dense(self.hidden_nf, dtype=cd, use_bias=False)(
+            jnp.concatenate([radial, edge_attr], axis=-1).astype(cd)
+        )  # (B,N,N,hidden) from the two edge scalars
+        m = src[:, :, None, :] + dst[:, None, :, :] + scal
         m = nn.silu(m)
         m = nn.Dense(self.hidden_nf, dtype=cd)(m)
         m = nn.silu(m)  # edge_mlp (:232-237)

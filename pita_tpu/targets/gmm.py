@@ -59,6 +59,8 @@ class GMM40(Target):
         val_set_size: int = 10000,
         test_set_size: int = 10000,
         data_seed: int = 0,
+        normalized: bool = False,
+        data_normalization_factor: float = 50.0,
     ):
         self.dim = dimensionality
         self.n_spatial_dim = dimensionality
@@ -66,9 +68,15 @@ class GMM40(Target):
         if locs is None:
             locs = np.load(os.path.abspath(_ASSET))[:n_mixes]
             assert locs.shape == (n_mixes, dimensionality), "asset only covers 40x2"
-        self.locs = jnp.asarray(locs, dtype=jnp.float32)
         if scales is None:
             scales = np.full((n_mixes, dimensionality), _softplus(log_var_scaling))
+        if normalized:
+            # train in [-1,1]-ish coordinates (the reference normalizes GMM
+            # data by /50, gmm_energy.py data_normalization_factor)
+            locs = np.asarray(locs) / data_normalization_factor
+            scales = np.asarray(scales) / data_normalization_factor
+        self.normalized = normalized
+        self.locs = jnp.asarray(locs, dtype=jnp.float32)
         self.scales = jnp.asarray(scales, dtype=jnp.float32)
         if log_weights is None:
             log_weights = np.zeros((n_mixes,))

@@ -566,7 +566,13 @@ class EnergyTempTrainer:
             -jnp.mean(target_lower.log_prob(res_nores.samples))
         )
         metrics[f"{prefix}/lower_temp"] = float(self.temperatures[index_lower])
-        final_lw = res_nores.logweights[-1]
+        # read the log-weights at the end of the accumulation window — past
+        # end_resampling_step they are zeroed (sde_integration.py:281-282)
+        lw_step = min(
+            self.integrator_cfg.end_resampling_step,
+            self.integrator_cfg.num_integration_steps,
+        ) - 1
+        final_lw = res_nores.logweights[lw_step]
         metrics[f"{prefix}/ess"] = float(effective_sample_size(final_lw, normalize=True))
         metrics[f"{prefix}/logweight_std"] = float(jnp.std(final_lw))
         if res.acceptance_rates.shape[0] > 0:
