@@ -47,7 +47,7 @@ def main():
     sched = ElucidatingNoiseSchedule(sigma_min=0.05, sigma_max=10.0, rho=7.0)
     anneal = ConstantAnnealingSchedule(annealing_factor=1.2)
 
-    n_steps = 30
+    n_steps = 40
     n_chains = 256
     cfg = IntegratorConfig(
         num_integration_steps=n_steps,
@@ -55,7 +55,11 @@ def main():
         resampling_interval=1,  # LJ13 config resamples every step
         resample_at_end=False,
         should_mean_free=True,
-        divergence_chunk_size=16,  # bound the 165-tangent jacfwd batch in HBM
+        divergence_chunk_size=64,  # bound the 165-tangent jacfwd batch in HBM
+        # exact divergence on a 10-step quadrature grid — validated to match
+        # per-step recomputation on the analytic tempered-GMM oracle
+        # (tests/test_annealing_oracle.py, PERF.md)
+        divergence_update_interval=10,
     )
 
     scale = float(jnp.sqrt(sched.h(jnp.asarray(1.0)) / 1.2))

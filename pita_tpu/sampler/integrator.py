@@ -66,6 +66,10 @@ class IntegratorConfig:
     hutchinson_probes: int = 1
     # FK weight-drift clamp quantile (sdes.py:230 clamps at 0.9; 1.0 = off)
     weight_clip_quantile: float = 0.9
+    # recompute the (expensive) divergence term every K steps and reuse it in
+    # between — a coarser quadrature of the smooth div(b_t) term in the weight
+    # integral, NOT an estimator approximation. 1 = every step (parity).
+    divergence_update_interval: int = 1
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -129,30 +133,40 @@ def integrate_sde(
         return x
 
     def body(carry, inp):
-        x, a, k = carry
-        t, acc_f, frz_f, res_f = inp
+        x, a, div_c, k = carry
+        t, acc_f, frz_f, res_f, rediv_f = inp
         k, k_diff, k_res, k_div = jax.random.split(k, 4)
 
-        terms = compute_sde_terms(
-            score_wrapper,
-            energy_wrapper,
-            params_score,
-            params_energy,
-            noise_schedule,
-            annealing_schedule,
-            jnp.full((B,), t, x.dtype),
-            x,
-            beta,
-            debias=cfg.debias_inference,
-            compute_weights=resampling_interval != -1,
-            pin_energy=cfg.pin_energy,
-            energy_function=target if cfg.pin_energy else None,
-            divergence_mode=cfg.divergence_mode,
-            divergence_chunk_size=cfg.divergence_chunk_size,
-            hutchinson_probes=cfg.hutchinson_probes,
-            divergence_key=k_div,
-            clip_quantile=cfg.weight_clip_quantile,
-        )
+        def _terms(div_override):
+            return compute_sde_terms(
+                score_wrapper,
+                energy_wrapper,
+                params_score,
+                params_energy,
+                noise_schedule,
+                annealing_schedule,
+                jnp.full((B,), t, x.dtype),
+                x,
+                beta,
+                debias=cfg.debias_inference,
+                compute_weights=resampling_interval != -1,
+                pin_energy=cfg.pin_energy,
+                energy_function=target if cfg.pin_energy else None,
+                divergence_mode=cfg.divergence_mode,
+                divergence_chunk_size=cfg.divergence_chunk_size,
+                hutchinson_probes=cfg.hutchinson_probes,
+                divergence_key=k_div,
+                clip_quantile=cfg.weight_clip_quantile,
+                div_bt_override=div_override,
+            )
+
+        if cfg.divergence_update_interval <= 1 or resampling_interval == -1:
+            terms = _terms(None)
+        else:
+            # recompute the divergence on schedule, reuse the carried value
+            # otherwise (lax.cond: only the selected branch executes)
+            terms = jax.lax.cond(rediv_f, lambda: _terms(None), lambda: _terms(div_c))
+        div_new = terms.divergence if terms.divergence is not None else div_c
         g_t = noise_schedule.g(t)
         diffusion = cfg.diffusion_scale * g_t * jax.random.normal(k_diff, x.shape, x.dtype)
         x_next = x + terms.drift_X * dt + diffusion * jnp.sqrt(dt)
@@ -168,18 +182,28 @@ def integrate_sde(
         x_next = jnp.where(res_f, x_res, x_next)
         n_unique = jnp.where(res_f, count_unique(choice, B), B)
         a_next = jnp.where(res_f, jnp.zeros_like(a_next), a_next)
+        # the carried divergence follows its chain through resampling
+        div_new = jnp.where(res_f, jnp.take(div_new, choice, axis=0), div_new)
 
         stats = {
             "divergence": _std(terms.divergence),
             "cross_term": _std(terms.cross_term),
             "dUt_dt": _std(terms.dUt_dt),
         }
-        return (x_next, a_next, k), (a_next, n_unique, stats)
+        return (x_next, a_next, div_new, k), (a_next, n_unique, stats)
 
     key, k_scan = jax.random.split(key)
-    init = (x1, jnp.zeros((B,), x1.dtype), k_scan)
-    xs = (times, jnp.asarray(in_window), jnp.asarray(freeze), jnp.asarray(resample_f))
-    (x, a, _), (logweights, num_unique, term_stats) = jax.lax.scan(body, init, xs)
+    init = (x1, jnp.zeros((B,), x1.dtype), jnp.zeros((B,), x1.dtype), k_scan)
+    steps_np = np.arange(n)
+    rediv = steps_np % max(cfg.divergence_update_interval, 1) == 0
+    xs = (
+        times,
+        jnp.asarray(in_window),
+        jnp.asarray(freeze),
+        jnp.asarray(resample_f),
+        jnp.asarray(rediv),
+    )
+    (x, a, _, _), (logweights, num_unique, term_stats) = jax.lax.scan(body, init, xs)
 
     did_resampling = resampling_interval != -1 and resampling_interval < n
     if cfg.resample_at_end and did_resampling:

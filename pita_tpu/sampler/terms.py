@@ -64,6 +64,7 @@ def compute_sde_terms(
     divergence_chunk_size: int = None,
     hutchinson_probes: int = 1,
     divergence_key=None,
+    div_bt_override=None,
 ) -> SDETerms:
     """Assemble drift_X and drift_A at times t (B,) for chains x (B, D)."""
     B = x.shape[0]
@@ -102,7 +103,12 @@ def compute_sde_terms(
     if not compute_weights:
         return SDETerms(drift_X=drift_X, drift_A=jnp.zeros((B,), x.dtype))
 
-    if has_score:
+    if div_bt_override is not None:
+        # reuse a previously computed div(b_t) (coarse quadrature of the
+        # smooth divergence term in the weight integral — see integrator's
+        # divergence_update_interval)
+        div_bt = div_bt_override
+    elif has_score:
         score_fn = lambda tt, xx: score_wrapper.score(
             params_score, noise_schedule.h(tt), xx, beta
         )
