@@ -75,3 +75,34 @@ def test_hutchinson_matches_exact_in_expectation(rng):
     x = jax.random.normal(jax.random.fold_in(rng, 2), (8, 6))
     est = hutchinson_divergence(f, t, x, jax.random.fold_in(rng, 3), num_probes=512)
     np.testing.assert_allclose(est, jnp.trace(A) * jnp.ones(8), rtol=0.15)
+
+
+def test_qmc_resample_marginals(rng):
+    from pita_tpu.ops.resampling import qmc_resample
+
+    B = 512
+    lw = jnp.log(jnp.arange(1, B + 1, dtype=jnp.float32))
+    counts = np.zeros(B)
+    for i in range(10):
+        idx = qmc_resample(jax.random.fold_in(rng, i), lw)
+        counts += np.bincount(np.asarray(idx), minlength=B)
+    w = np.asarray(jax.nn.softmax(lw))
+    np.testing.assert_allclose(counts / counts.sum(), w, atol=1e-3)
+
+
+def test_birth_death_resample(rng):
+    from pita_tpu.ops.resampling import birth_death_resample
+
+    B = 64
+    birth = jnp.ones(B).at[5].set(100.0)
+    death = jnp.zeros(B).at[jnp.asarray([1, 2])].set(10.0)  # clocks expired
+    thresh = jnp.ones(B)
+    ids, b2, d2, t2, n_killed = birth_death_resample(rng, birth, death, thresh)
+    assert int(n_killed) == 2
+    ids = np.asarray(ids)
+    # survivors keep their identity
+    alive = [i for i in range(B) if i not in (1, 2)]
+    assert all(ids[i] == i for i in alive)
+    # killed chains were replaced (mostly by the dominant birth weight)
+    assert ids[1] != 1 or ids[2] != 2
+    np.testing.assert_allclose(np.asarray(d2)[[1, 2]], 0.0)
