@@ -195,3 +195,19 @@ def test_integrator_is_jittable_end_to_end(rng):
     res = jfn(jax.random.fold_in(rng, 1), x1, jnp.asarray(1.0))
     assert res.samples.shape == (128, DIM)
     assert np.isfinite(np.asarray(res.samples)).all()
+
+
+def test_divergence_quadrature_matches_per_step(rng):
+    """divergence_update_interval=K reuses the exact divergence between
+    quadrature nodes; for the analytic Gaussian (div depends only on t) the
+    K=5 run must match K=1 closely."""
+    cfg1 = IntegratorConfig(
+        num_integration_steps=200, end_resampling_step=180,
+        resampling_interval=1, resample_at_end=True,
+    )
+    res1 = _run(rng, 2.0, cfg1, n_chains=2048)
+    res5 = _run(rng, 2.0, cfg1.replace(divergence_update_interval=5), n_chains=2048)
+    v1 = float(np.asarray(res1.samples).var())
+    v5 = float(np.asarray(res5.samples).var())
+    np.testing.assert_allclose(v5, v1, rtol=0.05)
+    np.testing.assert_allclose(v5, SIGMA0_SQ / 2.0, rtol=0.2)
