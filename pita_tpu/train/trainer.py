@@ -489,6 +489,38 @@ class EnergyTempTrainer:
 
     # ------------------------------------------------------------ evaluation
 
+    def eval_step_losses(self, prefix: str = "val") -> dict:
+        """Model losses on true val/test data (energytemp_module.py:734-767)."""
+        index = self.active_temp_index()
+        target = self.targets[index]
+        self.key, k_data, k_loss = jax.random.split(self.key, 3)
+        num = min(self.cfg.num_eval_samples, self.cfg.training_batch_size)
+        try:
+            if prefix.startswith("test"):
+                x0 = target.sample_test_set(k_data, num)
+            else:
+                x0 = target.sample_val_set(k_data, num)
+        except (ValueError, NotImplementedError):
+            return {}
+        e0, f0 = target.log_prob_and_force(x0)
+        beta = jnp.asarray(self.inverse_temperatures[index], jnp.float32)
+        total, aux = compute_losses(
+            self.score, self.energy, self.params_score, self.params_energy,
+            self.noise_schedule, self.loss_cfg, k_loss, x0, e0, f0, beta,
+            target=target, n_particles=self.n_particles,
+            n_spatial_dim=self.n_spatial_dim, mean_free=self.mean_free,
+        )
+        T = self.temperatures[index]
+        out = {
+            f"{prefix}/temp={T:.3f}/{k}": float(v)
+            for k, v in aux.items()
+            if not k.endswith("per_sample") and k != "ln_sigma"
+        }
+        out[f"{prefix}/loss"] = float(total)
+        if self.logger is not None:
+            self.logger.log_metrics(out, step=self.epoch)
+        return out
+
     def evaluate(self, prefix: str = "val") -> dict:
         """Validation-epoch evaluation + rung transition (:819-1000)."""
         cfg = self.cfg
@@ -677,6 +709,7 @@ class EnergyTempTrainer:
                 ):
                     self.eval_epoch_end_dem("val")
             elif (self.epoch + 1) % cfg.check_val_every_n_epoch == 0:
+                self.eval_step_losses("val")
                 self.evaluate("val")
                 if ckpt_path:
                     save_checkpoint(self, ckpt_path)
