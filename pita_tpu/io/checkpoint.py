@@ -13,7 +13,6 @@ with orbax and restored into the trainer in place.
 
 import os
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

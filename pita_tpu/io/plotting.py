@@ -11,7 +11,6 @@ unique-ancestor counts, MALA acceptance, SDE-term std curves, the annealing
 """
 
 import os
-from typing import Optional
 
 import numpy as np
 

@@ -8,7 +8,7 @@ from the topology instead of hard-coded per atom count: hydrogens bonded to
 the same carbon share a type.
 """
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 
 def peptide_atom_types(topology) -> Tuple[int, ...]:

@@ -18,12 +18,10 @@ Reference parity (SURVEY §2.4 "DEM leftovers" + wrappers):
   drifts.
 """
 
-from typing import Callable
-
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pita_tpu.nets.mlp import MLPBackbone, SinusoidalEmbedding
+from pita_tpu.nets.mlp import SinusoidalEmbedding
 
 
 class SimpleDebugScore:

@@ -10,8 +10,6 @@ The backbone convention matches the whole framework:
 preconditioner (score_net.py:29).
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

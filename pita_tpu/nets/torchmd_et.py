@@ -15,7 +15,7 @@ TPU-first: the reference scatters messages over an explicit edge list
 batched matmuls + masked sums, no gather/scatter (N ≤ 64 ⇒ MXU tiles).
 """
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -30,7 +30,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _lj_kernel(xc_ref, yc_ref, zc_ref, logp_ref, fx_ref, fy_ref, fz_ref, *,

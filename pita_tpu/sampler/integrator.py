@@ -27,7 +27,7 @@ follows, with weights gathered only for the global resample).
 """
 
 import dataclasses
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

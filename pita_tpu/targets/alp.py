@@ -20,8 +20,7 @@ are nm); the force field works in Å internally. Temperature is Kelvin;
 ``log_prob = -E / (kB·T)`` (alp_energy.py temperature handling).
 """
 
-import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

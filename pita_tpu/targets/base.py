@@ -18,9 +18,6 @@ jitted callers and embedded as constants (they are small). Dataset handling
 (train/val/test splits) mirrors base_energy_function.py:100-126.
 """
 
-from __future__ import annotations
-
-import dataclasses
 from typing import Optional
 
 import jax

@@ -14,7 +14,7 @@ exclusion/scale masks (N ≤ ~70 ⇒ one VPU tile-set). Units: kcal/mol, Å,
 elementary charges (amber convention); ``boltzmann_kcal`` converts to kT.
 """
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ SDE (no energy net, no FK weights) and refill buffer 0. DEM defaults from
 """
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

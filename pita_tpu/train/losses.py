@@ -22,7 +22,7 @@ derivative (∂/∂params of ∂U/∂(x,h)) the reference could not torch.compil
 """
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from pita_tpu.nets.ema import EMAState, ema_init, ema_update
+from pita_tpu.nets.ema import ema_init, ema_update
 from pita_tpu.nets.precondition import ScoreWrapper, EnergyWrapper
 from pita_tpu.sampler.integrator import IntegratorConfig, integrate_sde
 from pita_tpu.targets.priors import Prior
@@ -51,7 +51,6 @@ from pita_tpu.train.buffer import (
 from pita_tpu.train.losses import LossConfig, compute_losses
 from pita_tpu.metrics.distances import energy_distances, interatomic_dist_w2
 from pita_tpu.metrics.ess import effective_sample_size
-from pita_tpu.utils.mean_free import remove_mean
 
 
 @dataclasses.dataclass(frozen=True)
