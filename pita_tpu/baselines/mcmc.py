@@ -115,22 +115,68 @@ def hmc_chain(
     return x, accs, eps_f
 
 
-def generate_lj_dataset(target, num_samples: int, seed: int = 0, warmup: int = 2000, thin: int = 10):
+def generate_lj_dataset(
+    target,
+    num_samples: int,
+    seed: int = 0,
+    warmup: int = 12000,
+    thin: int = 10,
+    energy_threshold: float = 1e3,
+):
     """Generate approximate ground-truth LJ samples by batched adaptive MALA.
 
     Capability of ``sampling/sample_lj13.py`` (20000 samples, 2000 warmup),
-    run entirely on-device. Chains start from a jittered compact cluster.
+    run entirely on-device. Chains start from a Gaussian cluster relaxed by a
+    short Adam energy minimization (overlapping particles would otherwise
+    strand chains at astronomic energies that MALA can never leave), then
+    adaptive-MALA warmup; any chain still above ``energy_threshold`` after
+    warmup is replaced by a healthy one before sampling.
     """
+    import itertools
+
+    import optax
+
     key = jax.random.PRNGKey(seed)
     n_chains = min(num_samples, 512)
-    k_init, k_chain = jax.random.split(key)
-    # compact-cluster init: Gaussian scaled so neighbors sit near the LJ minimum
-    x0 = jax.random.normal(k_init, (n_chains, target.dim)) * 0.7
-    x0 = x0.reshape(n_chains, target.n_particles, 3)
-    x0 = (x0 - x0.mean(axis=1, keepdims=True)).reshape(n_chains, target.dim)
+    k_init, k_chain, k_fix = jax.random.split(key, 3)
+    # jittered-lattice init: guaranteed minimum separation (a Gaussian blob
+    # puts particles inside each other's r^-12 cores and neither Adam nor
+    # MALA reliably escapes)
+    N = target.n_particles
+    side = int(np.ceil(N ** (1 / 3)))
+    pts = np.array(list(itertools.product(range(side), repeat=3)), np.float32)[:N] * 1.12
+    pts -= pts.mean(0)
+    x0 = jnp.tile(jnp.asarray(pts.reshape(1, -1)), (n_chains, 1))
+    x0 = x0 + jax.random.normal(k_init, x0.shape) * 0.05
+
+    # relax the jittered lattices (batched Adam on the raw energy)
+    opt = optax.adam(3e-3)
+
+    @jax.jit
+    def relax(x):
+        state = opt.init(x)
+
+        def body(carry, _):
+            x, state = carry
+            g = jax.grad(lambda xx: jnp.sum(target.energy(xx)))(x)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            updates, state = opt.update(g, state, x)
+            return (optax.apply_updates(x, updates), state), None
+
+        (x, _), _ = jax.lax.scan(body, (x, state), None, length=2000)
+        return x
+
+    x0 = relax(x0)
 
     lpf = target.log_prob_and_force
     x, _, dt = mala_chain(lpf, x0, jax.random.fold_in(k_chain, 0), warmup, dt=5e-5)
+
+    # replace any still-unhealthy chain by a random healthy one
+    lp, _ = lpf(x)
+    healthy = jnp.abs(lp) < energy_threshold
+    idx_healthy = jnp.nonzero(healthy, size=n_chains, fill_value=0)[0]
+    repl = idx_healthy[jax.random.randint(k_fix, (n_chains,), 0, jnp.maximum(jnp.sum(healthy), 1))]
+    x = jnp.where(healthy[:, None], x, x[repl])
 
     rounds = int(np.ceil(num_samples / n_chains))
     out = []

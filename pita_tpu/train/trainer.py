@@ -445,12 +445,20 @@ class EnergyTempTrainer:
         num_samples: int,
         inverse_temp: float = 1.0,
         annealing_factor: float = 1.0,
+        annealing_factor_score: Optional[float] = None,
         resampling_interval: Optional[int] = None,
         return_logweights: bool = False,
         integrator_cfg: Optional[IntegratorConfig] = None,
         params: Optional[tuple] = None,
     ):
-        """Annealed sample generation (energytemp_module.py:237-298)."""
+        """Annealed sample generation (energytemp_module.py:237-298).
+
+        ``annealing_factor_score`` is accepted for API parity but has no
+        effect: the reference ties gamma_score to gamma_energy inside the
+        drift (sdes.py:142-143), making the separate score factor dead code —
+        we implement the tied form directly.
+        """
+        del annealing_factor_score
         cfg = integrator_cfg or self.integrator_cfg
         anneal = self.make_annealing(annealing_factor)
         prior = self._prior(annealing_factor)
