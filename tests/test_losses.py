@@ -124,3 +124,36 @@ def test_only_train_score_mode(rng):
     assert float(aux["energy_score_loss"]) == 0.0
     assert float(aux["energy_matching_loss"]) == 0.0
     assert float(total) == float(aux["score_loss"] * cfg.w_score)
+
+
+def test_estimate_Rt_matches_noised_gmm_oracle(rng):
+    """E_ε[p(x+√h ε)] is exactly the Gaussian-convolved density, which for a
+    GMM is the analytic noised GMM — R_t must converge to its log."""
+    from pita_tpu.targets.gmm import noised_gmm_log_prob
+
+    gmm = GMM40()
+    x = gmm.sample(rng, 8)
+    ht = jnp.full((8,), 0.5)
+    est = np.mean(
+        [
+            np.asarray(
+                estimate_Rt(jax.random.fold_in(rng, i), ht, x, gmm.log_prob, 4000)
+            )
+            for i in range(8)
+        ],
+        axis=0,
+    )
+    ref = np.asarray(noised_gmm_log_prob(gmm, ht, x))
+    np.testing.assert_allclose(est, ref, atol=0.1)
+
+
+def test_richardson_wrapper(rng):
+    from pita_tpu.train.dem_estimator import wrap_for_richardsons, estimate_Rt as _rt
+
+    gmm = GMM40()
+    x = gmm.sample(rng, 4)
+    ht = jnp.full((4,), 0.3)
+    rich = wrap_for_richardsons(_rt)
+    out = rich(rng, ht, x, gmm.log_prob, 256)
+    assert out.shape == (4,)
+    assert np.isfinite(np.asarray(out)).all()
