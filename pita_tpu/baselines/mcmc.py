@@ -169,7 +169,14 @@ def generate_lj_dataset(
     x0 = relax(x0)
 
     lpf = target.log_prob_and_force
-    x, _, dt = mala_chain(lpf, x0, jax.random.fold_in(k_chain, 0), warmup, dt=5e-5)
+    # warm up in bounded dispatches (very long single scans can trip device
+    # watchdogs on tunneled runtimes)
+    x, dt = x0, 5e-5
+    warm_chunk = 2000
+    for w in range(int(np.ceil(warmup / warm_chunk))):
+        x, _, dt = mala_chain(
+            lpf, x, jax.random.fold_in(k_chain, 1000 + w), warm_chunk, dt=float(dt)
+        )
 
     # replace any still-unhealthy chain by a random healthy one
     lp, _ = lpf(x)
