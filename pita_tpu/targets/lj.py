@@ -46,9 +46,18 @@ def _fit_smoothing_spline(eps, rm, range_min, range_max, interpolation=1000):
 
 
 def _eval_spline(r, knots, coeffs):
-    """Evaluate the cubic spline with clamped interval (lennardjones_energy.py:42-55)."""
-    iv = jnp.clip(jnp.searchsorted(knots, r, side="right") - 1, 0, knots.shape[0] - 2)
-    dx = r - knots[iv]
+    """Evaluate the cubic spline with clamped interval (lennardjones_energy.py:42-55).
+
+    The knots are uniform, so the interval is direct index arithmetic — no
+    searchsorted (which, on large 3D query tensors inside a scan, faults the
+    TPU runtime and is O(log K) gather-heavy anyway).
+    """
+    k0 = knots[0]
+    dx_knot = knots[1] - knots[0]
+    iv = jnp.clip(
+        jnp.floor((r - k0) / dx_knot).astype(jnp.int32), 0, knots.shape[0] - 2
+    )
+    dx = r - (k0 + iv.astype(r.dtype) * dx_knot)
     return (
         coeffs[0, iv] * dx**3 + coeffs[1, iv] * dx**2 + coeffs[2, iv] * dx + coeffs[3, iv]
     )
