@@ -46,21 +46,17 @@ def _fit_smoothing_spline(eps, rm, range_min, range_max, interpolation=1000):
 
 
 def _eval_spline(r, knots, coeffs):
-    """Evaluate the cubic spline with clamped interval (lennardjones_energy.py:42-55).
+    """Evaluate the smoothing cubic below range_min (lennardjones_energy.py:42-55).
 
-    The knots are uniform, so the interval is direct index arithmetic — no
-    searchsorted (which, on large 3D query tensors inside a scan, faults the
-    TPU runtime and is O(log K) gather-heavy anyway).
+    The reference replaces the pair energy by the spline only where
+    ``r < range_min`` — there the bucketized interval always clamps to the
+    *first* spline segment, so the smoothing is exactly one cubic
+    ``c0·dx³ + c1·dx² + c2·dx + c3`` with ``dx = r - range_min``: four scalar
+    coefficients, no table gather (per-element gathers on large 3D tensors
+    inside grad/scan fault the TPU runtime).
     """
-    k0 = knots[0]
-    dx_knot = knots[1] - knots[0]
-    iv = jnp.clip(
-        jnp.floor((r - k0) / dx_knot).astype(jnp.int32), 0, knots.shape[0] - 2
-    )
-    dx = r - (k0 + iv.astype(r.dtype) * dx_knot)
-    return (
-        coeffs[0, iv] * dx**3 + coeffs[1, iv] * dx**2 + coeffs[2, iv] * dx + coeffs[3, iv]
-    )
+    dx = r - knots[0]
+    return coeffs[0, 0] * dx**3 + coeffs[1, 0] * dx**2 + coeffs[2, 0] * dx + coeffs[3, 0]
 
 
 class LennardJones(Target):
