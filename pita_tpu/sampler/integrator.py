@@ -70,6 +70,10 @@ class IntegratorConfig:
     # between — a coarser quadrature of the smooth div(b_t) term in the weight
     # integral, NOT an estimator approximation. 1 = every step (parity).
     divergence_update_interval: int = 1
+    # run the integration scan in host-level segments of this many steps
+    # (None = one dispatch). Bounds single-execution length for runtimes with
+    # watchdogs and gives preemption points; results are identical.
+    segment_size: Optional[int] = None
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -81,6 +85,9 @@ class IntegrateResult(NamedTuple):
     num_unique: jnp.ndarray  # (steps[+1],) unique ancestors per step
     term_stats: dict  # {name: (steps,) std over chains} sampler diagnostics
     acceptance_rates: jnp.ndarray  # (post_mcmc_steps,) MALA acceptance
+
+
+_SEGMENT_CACHE: dict = {}
 
 
 def _step_flags(cfg: IntegratorConfig, resampling_interval: int):
@@ -133,7 +140,9 @@ def integrate_sde(
         return x
 
     def body(carry, inp):
-        x, a, div_c, k = carry
+        # params and beta ride in the carry (unchanged) so the compiled
+        # segment function is reusable across parameter updates
+        x, a, div_c, k, ps_c, pe_c, beta_c = carry
         t, acc_f, frz_f, res_f, rediv_f = inp
         k, k_diff, k_res, k_div = jax.random.split(k, 4)
 
@@ -141,13 +150,13 @@ def integrate_sde(
             return compute_sde_terms(
                 score_wrapper,
                 energy_wrapper,
-                params_score,
-                params_energy,
+                ps_c,
+                pe_c,
                 noise_schedule,
                 annealing_schedule,
                 jnp.full((B,), t, x.dtype),
                 x,
-                beta,
+                beta_c,
                 debias=cfg.debias_inference,
                 compute_weights=resampling_interval != -1,
                 pin_energy=cfg.pin_energy,
@@ -190,10 +199,14 @@ def integrate_sde(
             "cross_term": _std(terms.cross_term),
             "dUt_dt": _std(terms.dUt_dt),
         }
-        return (x_next, a_next, div_new, k), (a_next, n_unique, stats)
+        return (x_next, a_next, div_new, k, ps_c, pe_c, beta_c), (a_next, n_unique, stats)
 
     key, k_scan = jax.random.split(key)
-    init = (x1, jnp.zeros((B,), x1.dtype), jnp.zeros((B,), x1.dtype), k_scan)
+    beta_arr = jnp.asarray(beta, jnp.float32)
+    init = (
+        x1, jnp.zeros((B,), x1.dtype), jnp.zeros((B,), x1.dtype), k_scan,
+        params_score, params_energy, beta_arr,
+    )
     steps_np = np.arange(n)
     rediv = steps_np % max(cfg.divergence_update_interval, 1) == 0
     xs = (
@@ -203,7 +216,65 @@ def integrate_sde(
         jnp.asarray(resample_f),
         jnp.asarray(rediv),
     )
-    (x, a, _, _), (logweights, num_unique, term_stats) = jax.lax.scan(body, init, xs)
+
+    if cfg.segment_size is not None and cfg.segment_size < n:
+        # host-level segmentation: run the scan in bounded dispatches (long
+        # single executions can trip runtime watchdogs; segments also give
+        # preemption points). One compiled segment fn serves all segments —
+        # the per-step flag arrays are traced scan inputs, not constants —
+        # and is cached across integrate_sde calls (params enter the compiled
+        # fn through the carry closure, so the cache key includes their id).
+        seg = cfg.segment_size
+
+        cache_key = (
+            id(score_wrapper), id(energy_wrapper), id(target),
+            noise_schedule, annealing_schedule, cfg, resampling_interval, B, D,
+        )
+        run_segment = _SEGMENT_CACHE.get(cache_key)
+        if run_segment is None:
+            run_segment = jax.jit(lambda carry, xs_seg: jax.lax.scan(body, carry, xs_seg))
+            if len(_SEGMENT_CACHE) > 64:
+                _SEGMENT_CACHE.clear()
+            _SEGMENT_CACHE[cache_key] = run_segment
+
+        carry = init
+        lw_parts, nu_parts, stat_parts = [], [], []
+        s0 = 0
+        while s0 < n:
+            s1 = min(s0 + seg, n)
+            if s1 - s0 < seg:  # pad the ragged tail to reuse the compiled fn
+                pad = seg - (s1 - s0)
+                xs_seg = jax.tree.map(
+                    lambda arr: jnp.concatenate(
+                        [arr[s0:s1], jnp.zeros((pad,) + arr.shape[1:], arr.dtype)]
+                    ),
+                    xs,
+                )
+                # padded steps: freeze x and zero all flags so they are no-ops
+                xs_seg = (
+                    xs_seg[0],
+                    xs_seg[1].at[s1 - s0 :].set(False),
+                    xs_seg[2].at[s1 - s0 :].set(True),
+                    xs_seg[3].at[s1 - s0 :].set(False),
+                    xs_seg[4].at[s1 - s0 :].set(False),
+                )
+                carry, (lw, nu, st) = run_segment(carry, xs_seg)
+                lw, nu = lw[: s1 - s0], nu[: s1 - s0]
+                st = jax.tree.map(lambda v: v[: s1 - s0], st)
+            else:
+                xs_seg = jax.tree.map(lambda arr: arr[s0:s1], xs)
+                carry, (lw, nu, st) = run_segment(carry, xs_seg)
+            lw_parts.append(lw)
+            nu_parts.append(nu)
+            stat_parts.append(st)
+            s0 = s1
+        x, a = carry[0], carry[1]
+        logweights = jnp.concatenate(lw_parts, axis=0)
+        num_unique = jnp.concatenate(nu_parts, axis=0)
+        term_stats = jax.tree.map(lambda *vs: jnp.concatenate(vs, axis=0), *stat_parts)
+    else:
+        carry, (logweights, num_unique, term_stats) = jax.lax.scan(body, init, xs)
+        x, a = carry[0], carry[1]
 
     did_resampling = resampling_interval != -1 and resampling_interval < n
     if cfg.resample_at_end and did_resampling:

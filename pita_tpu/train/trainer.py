@@ -481,6 +481,15 @@ class EnergyTempTrainer:
         return res, res_nores
 
     def _integrate(self, key, x1, ps, pe, anneal, target, beta, cfg, resampling_interval):
+        if cfg.segment_size is not None:
+            # segmented mode manages its own per-segment jit (an outer jit
+            # would re-inline the host loop into one huge program)
+            return integrate_sde(
+                key, x1, self.score, self.energy, ps, pe,
+                self.noise_schedule, anneal, target,
+                jnp.asarray(beta, jnp.float32), cfg,
+                resampling_interval=resampling_interval,
+            )
         cache_key = (id(target), anneal, cfg, resampling_interval, x1.shape)
         if cache_key not in self._integrate_fn_cache:
             def fn(key, x1, ps, pe, beta):

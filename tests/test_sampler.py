@@ -211,3 +211,23 @@ def test_divergence_quadrature_matches_per_step(rng):
     v5 = float(np.asarray(res5.samples).var())
     np.testing.assert_allclose(v5, v1, rtol=0.05)
     np.testing.assert_allclose(v5, SIGMA0_SQ / 2.0, rtol=0.2)
+
+
+def test_segmented_integration_matches_single_dispatch(rng):
+    """segment_size splits the scan into bounded dispatches; results must be
+    bit-comparable to the single-dispatch run (same keys, same flags)."""
+    cfg = IntegratorConfig(
+        num_integration_steps=90, end_resampling_step=80,
+        resampling_interval=4, resample_at_end=True,
+    )
+    res_full = _run(rng, 2.0, cfg, n_chains=512)
+    res_seg = _run(rng, 2.0, cfg.replace(segment_size=40), n_chains=512)  # ragged tail
+    np.testing.assert_allclose(
+        np.asarray(res_full.samples), np.asarray(res_seg.samples), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_full.logweights), np.asarray(res_seg.logweights), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_full.num_unique), np.asarray(res_seg.num_unique)
+    )
