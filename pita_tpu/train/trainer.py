@@ -53,6 +53,25 @@ from pita_tpu.metrics.distances import energy_distances, interatomic_dist_w2
 from pita_tpu.metrics.ess import effective_sample_size
 
 
+def _retry_on_runtime_error(fn, retries: int = 2):
+    """Retry a device computation after a transient runtime failure.
+
+    Tunneled TPU runtimes occasionally lose the worker under sustained load;
+    the worker restarts transparently, so one retry usually succeeds (the
+    reference's crash-safe ``task_wrapper``/eval-exception handling analog,
+    utils.py:42-96, energytemp_module.py:765-767)."""
+    import jax.errors
+
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:
+            if attempt == retries:
+                raise
+            print(f"device runtime error ({e}); retrying ({attempt + 1}/{retries})")
+            time.sleep(10.0)
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
     """Ladder/loop configuration (configs/model/energytemp.yaml + experiment overlays)."""
@@ -557,12 +576,14 @@ class EnergyTempTrainer:
         annealing_factor = inverse_lower / inverse_temp
         target_lower = self.targets[index_lower]
 
-        res, res_nores = self.generate_samples(
-            target_lower,
-            num_samples,
-            inverse_temp=inverse_temp,
-            annealing_factor=annealing_factor,
-            return_logweights=True,
+        res, res_nores = _retry_on_runtime_error(
+            lambda: self.generate_samples(
+                target_lower,
+                num_samples,
+                inverse_temp=inverse_temp,
+                annealing_factor=annealing_factor,
+                return_logweights=True,
+            )
         )
         samples = res.samples
         energies, forces = target_lower.log_prob_and_force(samples)
@@ -753,11 +774,13 @@ class EnergyTempTrainer:
         for i, j in pairs:
             beta_i = float(self.inverse_temperatures[i])
             beta_j = float(self.inverse_temperatures[j])
-            res = self.generate_samples(
-                self.targets[j],
-                cfg.num_samples_to_save,
-                inverse_temp=beta_i,
-                annealing_factor=beta_j / beta_i,
+            res = _retry_on_runtime_error(
+                lambda: self.generate_samples(
+                    self.targets[j],
+                    cfg.num_samples_to_save,
+                    inverse_temp=beta_i,
+                    annealing_factor=beta_j / beta_i,
+                )
             )
             samples = np.asarray(res.samples)
             path = os.path.join(
