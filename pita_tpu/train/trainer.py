@@ -101,6 +101,9 @@ class TrainerConfig:
     precondition_beta: bool = False
     seed: int = 12345
     dem_num_training_epochs: int = 0
+    # skip ladder rungs at transitions (energytemp_module.py:833-834)
+    skip_temp: bool = False
+    num_skip_temps: int = 1
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -570,6 +573,8 @@ class EnergyTempTrainer:
         if anneal_to_lower:
             num_samples = cfg.num_temp_annealed_samples
             index_lower += 1
+            if cfg.skip_temp:
+                index_lower = min(index_lower + cfg.num_skip_temps, self.n_temps - 1)
 
         inverse_temp = float(self.inverse_temperatures[index])
         inverse_lower = float(self.inverse_temperatures[index_lower])
