@@ -64,6 +64,11 @@ def sharded_integrate(
         "(the reference silently drops remainder chains, sde_integration.py:227-233 "
         "— we refuse instead)"
     )
+    if cfg.segment_size is not None:
+        # segmentation is a host-level loop; under this outer jit it would
+        # unroll into one giant program — run unsegmented here (sharded runs
+        # are per-device shorter anyway)
+        cfg = cfg.replace(segment_size=None)
     chains = NamedSharding(mesh, P(mesh.axis_names[0]))
     repl = NamedSharding(mesh, P())
 
