@@ -82,3 +82,15 @@ def test_mala_sampling_is_stable(rng):
     assert float(accs[-50:].mean()) > 0.3
     e = alp.energy_kcal(x)
     assert float(jnp.max(e)) < 500.0
+
+
+def test_peptide_assets_are_L_enantiomers():
+    """L-amino acids have φ < 0 in relaxed conformations; the shipped
+    structures must be the L-enantiomer (the force field is achiral — the
+    starting structure selects the physical species; validated by MD
+    Ramachandran basin occupancy, docs/aldp_ramachandran_md400K.png)."""
+    for pep in ["aldp", "al3", "al4"]:
+        alp = ALPEnergy(pep)
+        x = jnp.asarray(alp.initial_structure())[None]
+        phi, _ = alp.dihedrals(x)
+        assert bool(jnp.all(phi < 0)), f"{pep}: phi {np.rad2deg(np.asarray(phi))}"
