@@ -58,13 +58,37 @@ def energy_distances(
     dm = np.asarray(d)
     gm = gm[np.abs(gm) <= energy_threshold]
     dm = dm[np.abs(dm) <= energy_threshold]
-    m = min(len(gm), len(dm))
-    if m > 0:
-        gm, dm = np.sort(gm)[:m], np.sort(dm)[:m]
-        out[f"{prefix}/energy_w2_cropped"] = float(np.sqrt(np.mean((gm - dm) ** 2)))
-        out[f"{prefix}/energy_w1_cropped"] = float(np.mean(np.abs(gm - dm)))
+    if len(gm) > 0 and len(dm) > 0:
+        # masking can drop different fractions from each set; compare the
+        # full masked histograms with the exact unequal-size 1D EMD (the
+        # reference feeds the masked sets to POT's emd2_1d, which handles
+        # unequal sizes — truncating both *sorted* arrays to the shorter
+        # length would compare mismatched quantile ranges)
+        out[f"{prefix}/energy_w2_cropped"] = float(np.sqrt(emd_1d_unequal(gm, dm, p=2)))
+        out[f"{prefix}/energy_w1_cropped"] = float(emd_1d_unequal(gm, dm, p=1))
         out[f"{prefix}/energy_mean_gap_cropped"] = float(abs(gm.mean() - dm.mean()))
     return out
+
+
+def emd_1d_unequal(a: np.ndarray, b: np.ndarray, p: int = 2) -> float:
+    """Exact 1D EMD_p^p between empirical measures of different sizes.
+
+    The optimal 1D coupling transports quantile mass in order: partition [0,1]
+    at every k/n and k/m breakpoint; on each sub-interval both quantile
+    functions are constant, so the cost is the weighted sum of
+    |Q_a(t) − Q_b(t)|^p over sub-intervals (equivalent to POT's emd2_1d with
+    uniform weights, used by distribution_distances.py:13-33).
+    """
+    a = np.sort(np.asarray(a, dtype=np.float64).ravel())
+    b = np.sort(np.asarray(b, dtype=np.float64).ravel())
+    n, m = len(a), len(b)
+    q = np.union1d(np.arange(1, n + 1) / n, np.arange(1, m + 1) / m)
+    edges = np.concatenate([[0.0], q])
+    w = np.diff(edges)
+    mid = (edges[:-1] + edges[1:]) / 2
+    ia = np.minimum((mid * n).astype(np.int64), n - 1)
+    ib = np.minimum((mid * m).astype(np.int64), m - 1)
+    return float(np.sum(w * np.abs(a[ia] - b[ib]) ** p))
 
 
 def wasserstein2_exact(a: np.ndarray, b: np.ndarray) -> float:

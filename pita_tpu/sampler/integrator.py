@@ -90,6 +90,39 @@ class IntegrateResult(NamedTuple):
 _SEGMENT_CACHE: dict = {}
 
 
+def _weak_key(*objs):
+    """Identity-based cache key component that cannot collide after GC.
+
+    ``id()`` values are recycled once an object dies, so an id-keyed cache can
+    silently return a function compiled against a *different* object's
+    constants. ``weakref.ref`` hashes/compares by referent identity while the
+    referent is alive, and a dead ref never equals a fresh ref to a new object
+    at the same address — stale entries become unreachable instead of wrong.
+    Objects that don't support weak references fall back to a strong ref
+    (keeping them alive pins their id, which is equally collision-free).
+    """
+    import weakref
+
+    out = []
+    for o in objs:
+        try:
+            out.append(weakref.ref(o))
+        except TypeError:
+            out.append(o)
+    return tuple(out)
+
+
+def _prune_dead(cache: dict):
+    import weakref
+
+    dead = [
+        k for k in cache
+        if any(isinstance(c, weakref.ref) and c() is None for c in k[0])
+    ]
+    for k in dead:
+        del cache[k]
+
+
 def _step_flags(cfg: IntegratorConfig, resampling_interval: int):
     """Precompute per-step gating flags (sde_integration.py:277-297)."""
     steps = np.arange(cfg.num_integration_steps)
@@ -227,14 +260,14 @@ def integrate_sde(
         seg = cfg.segment_size
 
         cache_key = (
-            id(score_wrapper), id(energy_wrapper), id(target),
+            _weak_key(score_wrapper, energy_wrapper, target),
             noise_schedule, annealing_schedule, cfg, resampling_interval, B, D,
         )
         run_segment = _SEGMENT_CACHE.get(cache_key)
         if run_segment is None:
             run_segment = jax.jit(lambda carry, xs_seg: jax.lax.scan(body, carry, xs_seg))
             if len(_SEGMENT_CACHE) > 64:
-                _SEGMENT_CACHE.clear()
+                _prune_dead(_SEGMENT_CACHE)
             _SEGMENT_CACHE[cache_key] = run_segment
 
         carry = init

@@ -70,16 +70,55 @@ def buffer_add(buf: ReplayBuffer, x, energy, force=None, mask=None) -> ReplayBuf
     )
 
 
-def buffer_sample(buf: ReplayBuffer, key, batch_size: int, prioritize: bool = False):
-    """Uniform (or energy-prioritized) sampling with replacement
-    (SimpleBuffer.sample, :335-370). Returns (x, energy, force, idx)."""
+def buffer_sample(
+    buf: ReplayBuffer,
+    key,
+    batch_size: int,
+    prioritize: bool = False,
+    replacement: bool = False,
+):
+    """Uniform or energy-prioritized sampling (SimpleBuffer.sample, :335-370).
+
+    Semantics match the reference exactly:
+    - ``replacement=False`` (the reference class default, :57) draws a uniform
+      random subset without replacement (randperm, :363); if ``batch_size``
+      exceeds the fill level, the excess indices fall back to with-replacement
+      draws (the reference raises instead — it requires a min fill level).
+    - ``replacement=True`` (what ``configs/model/energytemp.yaml:37`` sets on
+      the PITA main path) draws i.i.d. uniform indices (:355).
+    - ``prioritize=True`` samples ∝ softmax(stored log-probs): the ``energy``
+      field holds log p values, and the reference uses
+      ``Categorical(logits=self.buffer.energy)`` directly (:351-353) —
+      *high*-probability samples are preferred. Without replacement this is
+      Gumbel-top-k (the reference marks that combination NotImplemented).
+
+    Returns (x, energy, force, idx).
+    """
+    cap = buf.x.shape[0]
+    valid = jnp.arange(cap) < buf.size
     if prioritize:
-        # lower energy → higher priority (softmax of -E over the valid region)
-        valid = jnp.arange(buf.x.shape[0]) < buf.size
-        logits = jnp.where(valid, -buf.energy, -jnp.inf)
-        idx = jax.random.categorical(key, logits, shape=(batch_size,))
+        logits = jnp.where(valid, buf.energy, -jnp.inf)
+        if replacement:
+            idx = jax.random.categorical(key, logits, shape=(batch_size,))
+        else:
+            k_g, k_fall = jax.random.split(key)
+            g = jax.random.gumbel(k_g, logits.shape)
+            _, idx = jax.lax.top_k(logits + g, batch_size)
+            fallback = jax.random.categorical(k_fall, logits, shape=(batch_size,))
+            idx = jnp.where(jnp.arange(batch_size) < buf.size, idx, fallback)
     else:
-        idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(buf.size, 1))
+        if replacement:
+            idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(buf.size, 1))
+        else:
+            k_perm, k_fall = jax.random.split(key)
+            # random subset without replacement: top-k of i.i.d. uniforms over
+            # the valid region (≡ the first batch_size entries of a randperm)
+            u = jnp.where(valid, jax.random.uniform(k_perm, (cap,)), -jnp.inf)
+            _, idx = jax.lax.top_k(u, batch_size)
+            fallback = jax.random.randint(
+                k_fall, (batch_size,), 0, jnp.maximum(buf.size, 1)
+            )
+            idx = jnp.where(jnp.arange(batch_size) < buf.size, idx, fallback)
     return buf.x[idx], buf.energy[idx], buf.force[idx], idx
 
 

@@ -97,6 +97,12 @@ class TrainerConfig:
     init_from_prior: bool = False
     reinitialize_networks: bool = False
     prioritize_buffer: bool = False
+    # configs/model/energytemp.yaml:37 sets True on the PITA main path (the
+    # SimpleBuffer class default is False = without replacement)
+    sample_with_replacement: bool = True
+    # write the reference's eval diagnostic figures (energytemp_module.py:1083-
+    # 1222) under out_dir/plots each evaluation
+    make_plots: bool = False
     should_mean_free: bool = True
     precondition_beta: bool = False
     seed: int = 12345
@@ -256,7 +262,9 @@ class EnergyTempTrainer:
                 k_sample, k_aug, k_com, k_loss = jax.random.split(key_t, 4)
                 buf_i = buffer_view(buffers, temp_idx)
                 x0, e0, f0, _ = buffer_sample(
-                    buf_i, k_sample, batch, prioritize=cfg.prioritize_buffer
+                    buf_i, k_sample, batch,
+                    prioritize=cfg.prioritize_buffer,
+                    replacement=cfg.sample_with_replacement,
                 )
                 if is_mol:
                     x0, f0 = rotate_augment(k_aug, x0, f0, n_p, n_d)
@@ -364,7 +372,10 @@ class EnergyTempTrainer:
                 params_s, params_e, opt_state, ema_s, ema_e = carry
                 k_sample, k_aug, k_loss = jax.random.split(key_t, 3)
                 buf0 = buffer_view(buffers, 0)
-                x0, _, f0, _ = buffer_sample(buf0, k_sample, dem.training_batch_size)
+                x0, _, f0, _ = buffer_sample(
+                    buf0, k_sample, dem.training_batch_size,
+                    replacement=cfg.sample_with_replacement,
+                )
                 if is_mol:
                     x0, f0 = rotate_augment(k_aug, x0, f0, n_p, n_d)
 
@@ -512,7 +523,9 @@ class EnergyTempTrainer:
                 jnp.asarray(beta, jnp.float32), cfg,
                 resampling_interval=resampling_interval,
             )
-        cache_key = (id(target), anneal, cfg, resampling_interval, x1.shape)
+        from pita_tpu.sampler.integrator import _weak_key
+
+        cache_key = (_weak_key(target), anneal, cfg, resampling_interval, x1.shape)
         if cache_key not in self._integrate_fn_cache:
             def fn(key, x1, ps, pe, beta):
                 return integrate_sde(
@@ -656,11 +669,9 @@ class EnergyTempTrainer:
         if self.logger is not None:
             self.logger.log_metrics(metrics, step=self.epoch)
         self.metrics_history.append(dict(metrics, epoch=self.epoch))
-        if self.make_plots:
+        if self.cfg.make_plots:
             self._make_eval_plots(res, res_nores, target_lower, samples, energies, data)
         return metrics
-
-    make_plots: bool = False
 
     def _make_eval_plots(self, res, res_nores, target, samples, energies, data):
         """Reference evaluation figures (§5.5) saved under out_dir/plots."""

@@ -112,3 +112,36 @@ def test_plotting_functions_save_pngs(aldp, tmp_path, rng):
     import os
 
     assert len([f for f in os.listdir(tmp_path) if f.endswith(".png")]) == 5
+
+
+def test_emd_1d_unequal_exact():
+    """Exact unequal-size 1D EMD: agrees with scipy W1 and the equal-size sort
+    formula; used by the cropped energy distances after |E| masking."""
+    from scipy.stats import wasserstein_distance
+
+    from pita_tpu.metrics.distances import emd_1d_unequal, emd2_1d
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=301)
+    b = rng.normal(loc=0.3, size=517)
+    w1 = emd_1d_unequal(a, b, p=1)
+    np.testing.assert_allclose(w1, wasserstein_distance(a, b), rtol=1e-10)
+    # equal sizes: reduces to the sorted-pairing formula
+    c, d = rng.normal(size=200), rng.normal(size=200)
+    np.testing.assert_allclose(
+        emd_1d_unequal(c, d, p=2), float(emd2_1d(jnp.asarray(c), jnp.asarray(d))), rtol=1e-5
+    )
+
+
+def test_energy_distances_cropped_unequal_masks():
+    """Masking that drops different fractions must not truncate quantiles."""
+    from pita_tpu.metrics.distances import energy_distances
+
+    rng = np.random.default_rng(1)
+    g = np.concatenate([rng.normal(size=500), np.full(500, 5000.0)])  # half masked
+    d = rng.normal(size=1000)  # none masked
+    out = energy_distances(jnp.asarray(g), jnp.asarray(d), prefix="t")
+    # the cropped metric compares the same (standard-normal) distribution
+    assert out["t/energy_w2_cropped"] < 0.25
+    # the uncropped metric is blown up by the outliers
+    assert out["t/energy_w2"] > 100

@@ -52,13 +52,15 @@ def test_masked_add():
     assert kept == {0.0, 2.0, 3.0, 5.0}
 
 
-def test_prioritized_sampling_prefers_low_energy(rng):
+def test_prioritized_sampling_prefers_high_log_prob(rng):
+    # the energy field stores log p; reference samples Categorical(logits=energy)
+    # (prioritised_replay_buffer.py:351-353) => HIGH log p preferred
     buf = buffer_init(64, 1)
     x = jnp.zeros((64, 1))
     e = jnp.concatenate([jnp.zeros(32), jnp.full((32,), 50.0)])
     buf = buffer_add(buf, x, e)
-    _, es, _, _ = buffer_sample(buf, rng, 512, prioritize=True)
-    assert float((es == 0.0).mean()) > 0.95
+    _, es, _, _ = buffer_sample(buf, rng, 512, prioritize=True, replacement=True)
+    assert float((es == 50.0).mean()) > 0.95
 
 
 def test_save_load_roundtrip(tmp_path):
@@ -109,3 +111,39 @@ def test_prioritised_buffer_gumbel_topk(rng):
     # adjust: new log_q increases => weights shift; non-finite killed
     buf = prioritised_adjust(buf, jnp.full((64,), jnp.inf))
     assert bool(jnp.all(buf.log_w == -jnp.inf))
+
+
+def test_sample_without_replacement_no_duplicates(rng):
+    """Reference class default: randperm subset (prioritised_replay_buffer.py:363)."""
+    buf = buffer_init(64, 2)
+    buf = buffer_add(buf, jnp.arange(64, dtype=jnp.float32).reshape(32, 2), jnp.zeros(32))
+    _, _, _, idx = buffer_sample(buf, rng, 16, replacement=False)
+    idx = np.asarray(idx)
+    assert len(np.unique(idx)) == 16  # no duplicates
+    assert idx.max() < 32  # only valid region
+
+
+def test_sample_without_replacement_overdraw_falls_back(rng):
+    buf = buffer_init(64, 2)
+    buf = buffer_add(buf, jnp.ones((4, 2)), jnp.zeros(4))
+    xs, _, _, idx = buffer_sample(buf, rng, 16, replacement=False)
+    idx = np.asarray(idx)
+    assert idx.max() < 4  # never reads uninitialized rows
+    np.testing.assert_allclose(xs, 1.0)
+
+
+def test_prioritized_prefers_high_log_prob(rng):
+    """Reference: Categorical(logits=buffer.energy) where energy stores log p
+    (prioritised_replay_buffer.py:351-353) — HIGH log-prob rows dominate."""
+    buf = buffer_init(64, 1)
+    # rows 0..15: log_prob -100 (bad); rows 16..31: log_prob 0 (good)
+    x = jnp.arange(32, dtype=jnp.float32).reshape(32, 1)
+    logp = jnp.concatenate([jnp.full((16,), -100.0), jnp.zeros(16)])
+    buf = buffer_add(buf, x, logp)
+    _, _, _, idx = buffer_sample(buf, rng, 64, prioritize=True, replacement=True)
+    assert np.asarray(idx).min() >= 16  # only the high-log-prob half is drawn
+    _, _, _, idx2 = buffer_sample(
+        buf, jax.random.fold_in(rng, 1), 16, prioritize=True, replacement=False
+    )
+    idx2 = np.asarray(idx2)
+    assert idx2.min() >= 16 and len(np.unique(idx2)) == 16
