@@ -72,3 +72,38 @@ def hutchinson_divergence(f, t: jnp.ndarray, x: jnp.ndarray, key, num_probes: in
 
     keys = jax.random.split(key, num_probes)
     return jnp.mean(jax.vmap(one_probe)(keys), axis=0)
+
+
+def hutchpp_divergence(
+    f, t: jnp.ndarray, x: jnp.ndarray, key, rank: int = 16, num_probes: int = 4
+):
+    """Hutch++ trace estimate (Meyer et al. 2021): rank-``rank`` deflation
+    plus Hutchinson on the residual — variance O(1/rank²) of plain Hutchinson
+    at 2·rank + num_probes JVP passes. Per-sample Jacobians (vmapped QR).
+
+    tr(J) ≈ tr(Qᵀ J Q) + mean_g gᵀ (I−QQᵀ) J (I−QQᵀ) g,  Q = qr(J S).
+    """
+    B, D = x.shape
+    k1, k2 = jax.random.split(key)
+
+    _, f_lin = jax.linearize(lambda xx: f(t, xx), x)
+
+    def jv(V):  # V: (m, B, D) tangents -> J V per sample
+        return jax.vmap(f_lin)(V)
+
+    S = jax.random.rademacher(k1, (rank, B, D), dtype=x.dtype)
+    Y = jv(S)  # (rank, B, D)
+    # per-sample QR of Y^T (D, rank)
+    Q = jax.vmap(lambda y: jnp.linalg.qr(y.T)[0])(Y.transpose(1, 0, 2))  # (B, D, rank)
+    JQ = jv(Q.transpose(2, 0, 1))  # (rank, B, D)
+    tr_low = jnp.einsum("dbi,bid->b", JQ, Q)
+
+    G = jax.random.rademacher(k2, (num_probes, B, D), dtype=x.dtype)
+    # project out the deflated subspace: g ← (I − QQᵀ) g
+    coef = jnp.einsum("mbd,bdr->mbr", G, Q)
+    Gp = G - jnp.einsum("mbr,bdr->mbd", coef, Q)
+    JGp = jv(Gp)
+    coef2 = jnp.einsum("mbd,bdr->mbr", JGp, Q)
+    JGpp = JGp - jnp.einsum("mbr,bdr->mbd", coef2, Q)
+    tr_res = jnp.mean(jnp.sum(Gp * JGpp, axis=-1), axis=0)
+    return tr_low + tr_res

@@ -58,12 +58,17 @@ class IntegratorConfig:
     debias_inference: bool = True
     pin_energy: bool = False
     # divergence estimator for the FK weight drift: "exact" (Jacobian trace,
-    # reference parity) or "hutchinson" (unbiased, O(probes) instead of O(D))
+    # reference parity; EGNN backbones use the edge-operator fast path),
+    # "exact_generic" (force the jacfwd path), "hutchinson" (unbiased,
+    # O(probes)), or "hutchpp" (rank-deflated, 2·rank+probes passes)
     divergence_mode: str = "exact"
     # chains per divergence chunk — bounds the D-wide tangent batch in HBM
     # (TPU analog of the reference's inference_batch_size micro-batching)
     divergence_chunk_size: int = None
+    # tangents per chunk for the edge-operator exact path (memory bound)
+    divergence_tangent_chunk: int = None
     hutchinson_probes: int = 1
+    hutchpp_rank: int = 16
     # FK weight-drift clamp quantile (sdes.py:230 clamps at 0.9; 1.0 = off)
     weight_clip_quantile: float = 0.9
     # recompute the (expensive) divergence term every K steps and reuse it in
@@ -196,7 +201,9 @@ def integrate_sde(
                 energy_function=target if cfg.pin_energy else None,
                 divergence_mode=cfg.divergence_mode,
                 divergence_chunk_size=cfg.divergence_chunk_size,
+                divergence_tangent_chunk=cfg.divergence_tangent_chunk,
                 hutchinson_probes=cfg.hutchinson_probes,
+                hutchpp_rank=cfg.hutchpp_rank,
                 divergence_key=k_div,
                 clip_quantile=cfg.weight_clip_quantile,
                 div_bt_override=div_override,

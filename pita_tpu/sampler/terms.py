@@ -62,7 +62,9 @@ def compute_sde_terms(
     clip_quantile: float = 0.9,
     divergence_mode: str = "exact",
     divergence_chunk_size: int = None,
+    divergence_tangent_chunk: int = None,
     hutchinson_probes: int = 1,
+    hutchpp_rank: int = 16,
     divergence_key=None,
     div_bt_override=None,
 ) -> SDETerms:
@@ -120,8 +122,38 @@ def compute_sde_terms(
             div_st = hutchinson_divergence(
                 score_fn, t, x, divergence_key, hutchinson_probes
             )
+        elif divergence_mode == "hutchpp":
+            # Hutch++: rank-k deflation + residual probes — 2k+m passes with
+            # far lower variance than plain Hutchinson at equal passes
+            from pita_tpu.ops.divergence import hutchpp_divergence
+
+            assert divergence_key is not None
+            div_st = hutchpp_divergence(
+                score_fn, t, x, divergence_key,
+                rank=hutchpp_rank, num_probes=hutchinson_probes,
+            )
         else:
-            div_st = exact_divergence(score_fn, t, x, chunk_size=divergence_chunk_size)
+            # exact trace; EGNN backbones route through the edge-operator
+            # factorization (nets/egnn_fast.py) — same math as jacfwd, no
+            # (T, N², F) tangent tensors
+            from pita_tpu.nets.egnn_fast import (
+                score_divergence_fast,
+                supports_fast_divergence,
+            )
+
+            if (
+                divergence_mode != "exact_generic"
+                and supports_fast_divergence(getattr(score_wrapper, "backbone", None))
+            ):
+                div_st = score_divergence_fast(
+                    score_wrapper, params_score, ht, x, beta,
+                    tangent_chunk=divergence_tangent_chunk,
+                    chain_chunk=divergence_chunk_size,
+                )
+            else:
+                div_st = exact_divergence(
+                    score_fn, t, x, chunk_size=divergence_chunk_size
+                )
         div_bt = div_st * g2 / 2
     else:
         lap_U = exact_laplacian(U_of_tx, t, x, chunk_size=divergence_chunk_size)

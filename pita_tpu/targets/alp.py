@@ -442,6 +442,124 @@ class ALPEnergy(Target):
     def setup_test_set(self):
         return self._load_or_generate("test", num_samples=2000)
 
+    def log_on_epoch_end(
+        self,
+        samples,
+        data,
+        *,
+        prefix: str = "val",
+        out_dir=None,
+        samples_not_resampled=None,
+        make_plots: bool = False,
+        num_eval_samples: int = 5000,
+    ) -> dict:
+        """Peptide evaluation: Ramachandran metrics + torus-Wasserstein on φ/ψ,
+        chirality check/correction rates, TICA-space distances, figures.
+
+        Reference: ``ALPEnergy.log_on_epoch_end`` (alp_energy.py:190-291),
+        ``get_ramachandran_metrics`` (:278-291, torus-W at :290), chirality
+        check/fix (:244-271), TICA plots (:433-471). One deliberate fix: the
+        reference's not_resampled Ramachandran metrics are computed on the
+        *resampled* samples (a bug at alp_energy.py:234-236); we use the actual
+        not-resampled set.
+        """
+        import os
+
+        import numpy as np
+
+        from pita_tpu.metrics.distances import (
+            compute_distribution_distances,
+            torus_wasserstein,
+        )
+        from pita_tpu.utils.chirality import check_and_fix_chirality, find_chirality_centers
+
+        samples = np.asarray(samples)[:num_eval_samples]
+        data = np.asarray(data)[:num_eval_samples]
+        metrics = {}
+
+        def phi_psi(x):
+            phi, psi = self.dihedrals(jnp.asarray(x))
+            return np.concatenate([np.asarray(phi), np.asarray(psi)], axis=-1)
+
+        x_true = phi_psi(data)
+
+        def rama_metrics(x_gen, tag):
+            n = min(len(x_gen), len(x_true))
+            m = compute_distribution_distances(
+                phi_psi(x_gen)[:n], x_true[:n], prefix=f"{prefix}/rama/{tag}"
+            )
+            m[f"{prefix}/rama/{tag}/torus_wasserstein"] = torus_wasserstein(
+                phi_psi(x_gen)[:n], x_true[:n]
+            )
+            return m
+
+        metrics.update(rama_metrics(samples, "resampled"))
+        if samples_not_resampled is not None:
+            metrics.update(
+                rama_metrics(np.asarray(samples_not_resampled), "not_resampled")
+            )
+
+        # chirality: reference signs from one data structure; mirror-correct the
+        # generated set, report correct/uncorrectable rates (alp_energy.py:244-271)
+        elements = [n[0] for n in self.topology["names"]]
+        centers = find_chirality_centers(self.topology["bonds"], elements)
+        if centers:
+            xr_data = data.reshape(-1, self.n_particles, 3)
+            from pita_tpu.utils.chirality import chirality_sign
+
+            ref_signs = [chirality_sign(xr_data[[1]], c, nbrs)[0] for c, nbrs in centers]
+            xr = samples.reshape(-1, self.n_particles, 3)
+            fixed, flipped = check_and_fix_chirality(xr, centers, ref_signs)
+            metrics[f"{prefix}/correct_symmetry_rate"] = float(1.0 - flipped.mean())
+            _, still = check_and_fix_chirality(fixed, centers, ref_signs)
+            metrics[f"{prefix}/uncorrectable_symmetry_rate"] = float(still.mean())
+            samples_fixed = fixed[~still].reshape(-1, self.dim)
+        else:
+            samples_fixed = samples
+
+        # TICA: fit on the (time-ordered) data features, project both sets,
+        # distances in IC space (tica.py capability; base_datamodule TICA metric)
+        try:
+            from pita_tpu.metrics.tica import run_tica
+
+            tica = run_tica(self, data, generated=samples_fixed)
+            n = min(len(tica["generated_proj"]), len(tica["data_proj"]))
+            metrics.update(
+                compute_distribution_distances(
+                    tica["generated_proj"][:n], tica["data_proj"][:n],
+                    prefix=f"{prefix}/tica",
+                )
+            )
+        except (AssertionError, ValueError) as e:
+            print(f"TICA skipped: {e}")
+            tica = None
+
+        if make_plots and out_dir is not None:
+            from pita_tpu.io import plotting as P
+
+            phi_g, psi_g = self.dihedrals(jnp.asarray(samples_fixed))
+            P.plot_ramachandran(
+                np.asarray(phi_g), np.asarray(psi_g), out_dir,
+                name="ramachandran_resampled", temperature=self.temperature,
+            )
+            phi_d, psi_d = self.dihedrals(jnp.asarray(data))
+            P.plot_ramachandran(
+                np.asarray(phi_d), np.asarray(psi_d), out_dir,
+                name="ramachandran_ground_truth", temperature=self.temperature,
+            )
+            if samples_not_resampled is not None:
+                phi_n, psi_n = self.dihedrals(jnp.asarray(samples_not_resampled))
+                P.plot_ramachandran(
+                    np.asarray(phi_n), np.asarray(psi_n), out_dir,
+                    name="ramachandran_not_resampled", temperature=self.temperature,
+                )
+            if tica is not None:
+                P.plot_tica_density(
+                    tica["data_proj"], out_dir, name="tica",
+                    proj_generated=tica.get("generated_proj"),
+                )
+        return metrics
+
 
 # per-residue template offsets [nm] for an extended-chain embed; the chain
 # advances 0.35 nm per residue along +x. Crude — followed by minimization.

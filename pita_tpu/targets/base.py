@@ -142,3 +142,22 @@ class Target:
         new = copy.copy(self)
         new.temperature = float(temperature)
         return new
+
+    def log_on_epoch_end(
+        self,
+        samples,
+        data,
+        *,
+        prefix: str = "val",
+        out_dir=None,
+        samples_not_resampled=None,
+        make_plots: bool = False,
+    ) -> dict:
+        """Target-specific evaluation hook called from trainer.evaluate/test.
+
+        Reference: ``BaseEnergyFunction.log_on_epoch_end`` (:157-164) and its
+        overrides (ALP Ramachandran/TICA/chirality, alp_energy.py:190-291; GMM
+        contours). Base targets log nothing extra — the trainer already
+        computes energy/distance metrics.
+        """
+        return {}

@@ -648,6 +648,20 @@ class EnergyTempTrainer:
                 metrics[f"{prefix}/dist_w2"] = interatomic_dist_w2(
                     target_lower, samples, data
                 )
+        if data is not None:
+            # target-specific eval hook: Ramachandran/torus-W/chirality/TICA
+            # for peptides, contours for GMM (energytemp_module.py:954 →
+            # alp_energy.py:190-291)
+            metrics.update(
+                target_lower.log_on_epoch_end(
+                    samples, data, prefix=prefix,
+                    out_dir=os.path.join(
+                        self.out_dir, "plots", f"epoch_{self.epoch}"
+                    ),
+                    samples_not_resampled=res_nores.samples,
+                    make_plots=cfg.make_plots,
+                )
+            )
         metrics[f"{prefix}/energy_mean"] = float(-jnp.mean(energies))
         metrics[f"{prefix}/energy_mean_no_resampling"] = float(
             -jnp.mean(target_lower.log_prob(res_nores.samples))
@@ -824,6 +838,13 @@ class EnergyTempTrainer:
                     m[f"{prefix}/dist_w2"] = interatomic_dist_w2(
                         self.targets[j], jnp.asarray(sub), data
                     )
+                m.update(
+                    self.targets[j].log_on_epoch_end(
+                        jnp.asarray(sub), data, prefix=prefix,
+                        out_dir=os.path.join(self.out_dir, "plots", "test"),
+                        make_plots=cfg.make_plots,
+                    )
+                )
                 all_metrics.update(m)
             all_metrics[f"{prefix}/energy_mean"] = float(-jnp.mean(energies))
         if self.logger is not None:

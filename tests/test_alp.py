@@ -94,3 +94,33 @@ def test_peptide_assets_are_L_enantiomers():
         x = jnp.asarray(alp.initial_structure())[None]
         phi, _ = alp.dihedrals(x)
         assert bool(jnp.all(phi < 0)), f"{pep}: phi {np.rad2deg(np.asarray(phi))}"
+
+
+def test_log_on_epoch_end_peptide_metrics(tmp_path):
+    """The eval hook must log Ramachandran distances, torus-W, chirality
+    rates and TICA distances, and write figures (alp_energy.py:190-291)."""
+    target = ALPEnergy("aldp", temperature=300.0)
+    x0 = target.initial_structure().reshape(1, -1)
+    rng = np.random.default_rng(0)
+    data = x0 + rng.normal(size=(64, target.dim)) * 0.002
+    samples = x0 + rng.normal(size=(48, target.dim)) * 0.002
+    # mirror a few samples to exercise the chirality fix
+    xr = samples.reshape(-1, target.n_particles, 3).copy()
+    xr[:5, :, 2] *= -1.0
+    samples = xr.reshape(-1, target.dim)
+    m = target.log_on_epoch_end(
+        jnp.asarray(samples), jnp.asarray(data), prefix="val",
+        out_dir=str(tmp_path), samples_not_resampled=jnp.asarray(data[:16]),
+        make_plots=True,
+    )
+    assert np.isfinite(m["val/rama/resampled/torus_wasserstein"])
+    assert np.isfinite(m["val/rama/not_resampled/torus_wasserstein"])
+    assert np.isfinite(m["val/rama/resampled/w2"])
+    # 5 of 48 samples mirrored
+    assert abs(m["val/correct_symmetry_rate"] - 43 / 48) < 1e-6
+    assert m["val/uncorrectable_symmetry_rate"] == 0.0
+    assert np.isfinite(m["val/tica/w2"])
+    import os
+
+    assert os.path.exists(tmp_path / "ramachandran_resampled.png")
+    assert os.path.exists(tmp_path / "tica.png")
