@@ -92,7 +92,7 @@ _TORSIONS = {
     ("H", "N", "C", "O"): [(2, 2.5, 180.0), (1, 2.0, 0.0)],
     ("HC", "CT", "C", "O"): [(1, 0.80, 0.0), (3, 0.08, 180.0)],
     # ff99SB backbone corrections
-    ("C", "N", "CT", "C"): [(1, 2.00, 0.0), (2, 0.27, 0.0), (3, 0.42, 0.0)],  # φ
+    ("C", "N", "CT", "C"): [(2, 0.27, 0.0), (3, 0.42, 0.0)],  # φ (V1 = 0)
     ("N", "CT", "C", "N"): [(1, 0.45, 180.0), (2, 1.58, 180.0), (3, 0.55, 180.0)],  # ψ
     ("CT", "CT", "N", "C"): [(1, 2.00, 0.0), (2, 2.00, 0.0), (3, 0.40, 0.0)],  # φ'
     ("CT", "CT", "C", "N"): [(1, 0.20, 0.0), (2, 0.20, 0.0), (3, 0.40, 0.0)],  # ψ'
