@@ -97,6 +97,7 @@ def generate_md_dataset(
     """Run MD and dump a checkpointed .npz trajectory (generate_md.py:38-111)."""
     import os
 
+    checkpoint_every = min(checkpoint_every, n_steps)
     cfg = MDConfig(
         temperature=temperature or target.temperature, n_steps=checkpoint_every
     )

@@ -70,6 +70,9 @@ def _lj13() -> dict:
             post_mcmc_steps=0,
             num_negative_time_steps=0,
             divergence_chunk_size=64,
+            # bounded dispatches: long single XLA executions trip tunneled-
+            # runtime watchdogs (results are bit-identical, see integrator)
+            segment_size=100,
         ),
     )
 

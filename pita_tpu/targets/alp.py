@@ -344,6 +344,9 @@ class ALPEnergy(Target):
         temperature: float = 300.0,
         implicit_solvent: bool = True,
         data_dir: Optional[str] = None,
+        data_source: str = "md",
+        data_url: Optional[str] = None,
+        data_sha256: Optional[str] = None,
     ):
         self.peptide = peptide
         n_ala = PEPTIDES[peptide]
@@ -363,6 +366,9 @@ class ALPEnergy(Target):
         self.implicit_solvent = implicit_solvent
         self.name = peptide
         self.data_dir = data_dir
+        self.data_source = data_source
+        self.data_url = data_url
+        self.data_sha256 = data_sha256
         self._initial_structure = None
 
     # ---- energy ----
@@ -400,6 +406,16 @@ class ALPEnergy(Target):
         return self._initial_structure
 
     def _load_or_generate(self, which, num_samples=5000):
+        """Train/val/test sets, in preference order:
+
+        1. cached ``{peptide}_temp_{T}_{which}.npy`` under ``data_dir``
+           (reference path convention, base_molecule_energy_function.py:54-68),
+        2. download by URL when ``data_url`` is configured (the reference
+           datamodule's prepare_data, base_datamodule.py:63-83),
+        3. generate: Langevin MD (``data_source="md"``, default — the
+           reference trains on MD data; baselines/md.py BAOAB) or adaptive
+           MALA (``data_source="mala"``).
+        """
         import os
 
         if self.data_dir is not None:
@@ -408,12 +424,54 @@ class ALPEnergy(Target):
             )
             if os.path.exists(path):
                 return np.load(path).reshape(-1, self.dim)
+            if self.data_url is not None:
+                from pita_tpu.io.datamodule import download_dataset
+
+                download_dataset(
+                    self.data_url.format(peptide=self.peptide, which=which),
+                    path, sha256=self.data_sha256,
+                )
+                return np.load(path).reshape(-1, self.dim)
         else:
             path = None
-        from pita_tpu.baselines.mcmc import mala_chain
 
         seeds = dict(train=11, val=12, test=13)
-        key = jax.random.PRNGKey(seeds[which])
+        if self.data_source == "md":
+            data = self._generate_md_set(which, num_samples, seeds[which])
+        else:
+            data = self._generate_mala_set(which, num_samples, seeds[which])
+        if path is not None:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.save(path, data)
+        return data
+
+    def _generate_md_set(self, which, num_samples, seed):
+        """Langevin-MD dataset: replicas from the relaxed structure, BAOAB at
+        the target temperature, warmup discarded, frames pooled."""
+        import tempfile
+
+        from pita_tpu.baselines.md import generate_md_dataset
+
+        n_replicas = 32
+        # report_interval=100 → frames = steps/100; generate 2× for warmup
+        n_steps = max(int(np.ceil(2 * num_samples / n_replicas)) * 100, 2000)
+        with tempfile.NamedTemporaryFile(suffix=".npz") as tmp:
+            generate_md_dataset(
+                self, tmp.name, n_steps=n_steps, n_replicas=n_replicas, seed=seed
+            )
+            z = np.load(tmp.name)
+            frames = z["positions"]  # (T, R, dim)
+        n_frames = frames.shape[0]
+        frames = frames[n_frames // 2:]  # discard warmup half
+        data = frames.reshape(-1, self.dim)
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(len(data))[:num_samples]
+        return data[idx]
+
+    def _generate_mala_set(self, which, num_samples, seed):
+        from pita_tpu.baselines.mcmc import mala_chain
+
+        key = jax.random.PRNGKey(seed)
         n_chains = 128
         x0 = jnp.asarray(
             np.tile(self.initial_structure().reshape(1, -1), (n_chains, 1))
@@ -427,11 +485,7 @@ class ALPEnergy(Target):
                 self.log_prob_and_force, x, jax.random.fold_in(key, r), 200, dt=float(dt)
             )
             out.append(np.asarray(x))
-        data = np.concatenate(out)[:num_samples]
-        if path is not None:
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            np.save(path, data)
-        return data
+        return np.concatenate(out)[:num_samples]
 
     def setup_train_set(self):
         return self._load_or_generate("train")

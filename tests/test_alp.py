@@ -124,3 +124,20 @@ def test_log_on_epoch_end_peptide_metrics(tmp_path):
 
     assert os.path.exists(tmp_path / "ramachandran_resampled.png")
     assert os.path.exists(tmp_path / "tica.png")
+
+
+@pytest.mark.slow
+def test_md_backed_dataset_generation(tmp_path):
+    """Peptide train sets come from Langevin MD by default (VERDICT #7:
+    reference trains on MD data, not MALA-from-minimum)."""
+    t = ALPEnergy("aldp", temperature=400.0, data_dir=str(tmp_path), data_source="md")
+    data = t._load_or_generate("val", num_samples=128)
+    assert data.shape == (128, t.dim)
+    e = t.energy_kcal(jnp.asarray(data))
+    assert bool(jnp.all(jnp.isfinite(e)))
+    # cached on second call
+    import os
+
+    assert os.path.exists(tmp_path / "aldp_temp_400.00_val.npy")
+    data2 = t._load_or_generate("val", num_samples=128)
+    np.testing.assert_allclose(data, data2)
