@@ -168,14 +168,73 @@ def _aldp() -> dict:
         loss=dict(w_target_score=0.01),
         integrator=dict(
             num_integration_steps=1000,
-            end_resampling_step=1000,
+            end_resampling_step=800,
             resampling_interval=1,
             resample_at_end=False,
             post_mcmc_steps=5,
             adaptive_mcmc=True,
             dt_negative_time=1e-13,
+            segment_size=100,
         ),
     )
+
+
+def _al3() -> dict:
+    """configs/experiment/al3.yaml — alanine tripeptide (33 atoms)."""
+    cfg = _aldp()
+    cfg.update(name="al3", tags=("AL3",))
+    cfg["energy"] = dict(kind="alp", peptide="al3")
+    cfg["noise_schedule"] = dict(
+        kind="elucidating", sigma_min=0.01, sigma_max=80.0, rho=7.0
+    )
+    cfg["trainer"] = dict(
+        cfg["trainer"],
+        temperatures=(1200.0, 755.95, 555.52, 408.24, 300.0),
+        num_epochs_per_temp=(200, 200, 200, 200),
+        training_batch_size=2048,
+        num_temp_annealed_samples=30000,
+        temps_to_anneal_test=((600.0, 600.0),),
+    )
+    cfg["integrator"] = dict(cfg["integrator"], end_resampling_step=800)
+    return cfg
+
+
+def _al4() -> dict:
+    """AL4 tetrapeptide (42 atoms) — al3 ladder, one size up."""
+    cfg = _al3()
+    cfg.update(name="al4", tags=("AL4",))
+    cfg["energy"] = dict(kind="alp", peptide="al4")
+    return cfg
+
+
+def _alp_diffusion_baseline() -> dict:
+    """configs/experiment/alp_diffusion_baseline.yaml — plain score-only
+    diffusion at 300K (no FK weights, no debiasing, no annealing)."""
+    cfg = _aldp()
+    cfg.update(name="alp_diffusion_baseline", tags=("ALDP", "diffusion_baseline"))
+    cfg["noise_schedule"] = dict(
+        kind="elucidating", sigma_min=0.005, sigma_max=80.0, rho=7.0
+    )
+    cfg["trainer"] = dict(
+        cfg["trainer"],
+        temperatures=(300.0, 300.0),
+        num_epochs_per_temp=(400,),
+        should_mean_free=False,
+        temps_to_anneal_test=((300.0, 300.0),),
+    )
+    cfg["loss"] = dict(
+        w_score=1.0, w_energy_score=0.0, w_energy_matching=0.0,
+        w_target_score=0.0, w_dem_energy=0.0, w_dU_dt_regularization=0.0,
+    )
+    cfg["integrator"] = dict(
+        cfg["integrator"],
+        end_resampling_step=1000,
+        resampling_interval=-1,
+        should_mean_free=False,
+        debias_inference=False,
+        post_mcmc_steps=0,
+    )
+    return cfg
 
 
 EXPERIMENTS = {
@@ -184,6 +243,9 @@ EXPERIMENTS = {
     "lj13": _lj13,
     "lj55": _lj55,
     "aldp": _aldp,
+    "al3": _al3,
+    "al4": _al4,
+    "alp_diffusion_baseline": _alp_diffusion_baseline,
 }
 
 # configs/debug/*.yaml capability

@@ -272,18 +272,20 @@ def _layer_tangent_ops(lp: _LayerParams, acts: _LayerActs, mask, coords_range,
 def _coord_tangent(acts, d_a, d_norm, dxc, x):
     """Tangent of x_out = x + x·rowsum(w) − w@x given d_w decomposition.
 
-    d_w = (d_a − w·d_norm)/denom, all (T,B,N,N) scalars.
-    dxc: (T,B,N,3); x: (B,N,3). Returns (T,B,N,3).
+    d_w = (d_a − w·d_norm)/denom, all (T,B,N,N) scalars (compute dtype);
+    contractions accumulate in f32. dxc: (T,B,N,3) f32; returns f32.
     """
-    denom = acts.norm + 1.0
-    d_w = (d_a - acts.w[None] * d_norm) / denom[None]
-    row_w = jnp.sum(acts.w, axis=2)  # (B,N)
-    row_dw = jnp.sum(d_w, axis=3)  # (T,B,N)
+    cd = d_a.dtype
+    denom = (acts.norm + 1.0).astype(cd)
+    d_w = (d_a - acts.w[None].astype(cd) * d_norm) / denom[None]
+    row_w = jnp.sum(acts.w, axis=2)  # (B,N) f32
+    row_dw = jnp.sum(d_w.astype(jnp.float32), axis=3)  # (T,B,N)
     term = (
         dxc
         + dxc * row_w[None, ..., None]
         + x[None] * row_dw[..., None]
-        - jnp.einsum("tbnm,bmd->tbnd", d_w, x)
+        - jnp.einsum("tbnm,bmd->tbnd", d_w, x.astype(cd),
+                     preferred_element_type=jnp.float32)
         - jnp.einsum("bnm,tbmd->tbnd", acts.w, dxc)
     )
     return term
@@ -325,23 +327,27 @@ def egnn_jacobian_trace(params, module, t, x_flat, beta, tangent_chunk: int = No
         )  # (T,B,N,3)
 
         # d radial = 2·diff_ij·(dx_i − dx_j), contracted against the exact
-        # primal diff (no (T,B,N,N,3) tensor, no cancellation)
+        # primal diff (no (T,B,N,N,3) tensor, no cancellation). The (T,B,N,N)
+        # scalar fields ride in the compute dtype — they are the dominant
+        # HBM traffic of the tangent pass.
         def d_radial(diff, dx):
+            diff = diff.astype(cd)
+            dx = dx.astype(cd)
             a = jnp.einsum("bnmd,tbnd->tbnm", diff, dx)
             b = jnp.einsum("bnmd,tbmd->tbnm", diff, dx)
             return 2 * (a - b)
 
-        d_edge = d_radial(diff0, dxs)  # (T,B,N,N)
+        d_edge = d_radial(diff0, dxs)  # (T,B,N,N) cd
 
         dh = jnp.zeros((Tc, B, N, layers[0].w_src.shape[0]), cd)
         dxc = dxs
         for lp, acts, (G, r) in zip(layers, all_acts, ops):
-            d_rad = d_radial(acts.diff, dxc)  # (T,B,N,N)
-            d_norm = d_rad / (2 * acts.norm[None])
+            d_rad = d_radial(acts.diff, dxc)  # (T,B,N,N) cd
+            d_norm = d_rad / (2 * acts.norm[None]).astype(cd)
             A = dh @ lp.w_src.astype(cd)  # (T,B,N,F)
             Bv = dh @ lp.w_dst.astype(cd)
-            c_scal = d_rad.astype(cd)
-            e_scal = d_edge.astype(cd)
+            c_scal = d_rad
+            e_scal = d_edge
 
             # --- d_agg_i = Σ_j G_ij d_z1_ij, d_z1 = A_i + B_j + c·w_r + e·w_e
             F = A.shape[-1]
@@ -360,9 +366,7 @@ def egnn_jacobian_trace(params, module, t, x_flat, beta, tangent_chunk: int = No
             rb = jnp.einsum("bnmf,tbmf->tbnm", r, Bv)
             rc = jnp.einsum("bnmf,f->bnm", r, lp.w_scal[0].astype(cd))
             re = jnp.einsum("bnmf,f->bnm", r, lp.w_scal[1].astype(cd))
-            d_a = (ra + rb + rc[None] * c_scal + re[None] * e_scal).astype(
-                jnp.float32
-            )
+            d_a = ra + rb + rc[None] * c_scal + re[None] * e_scal
 
             dxc = _coord_tangent(acts, d_a, d_norm, dxc, acts.x_in)
 

@@ -588,6 +588,14 @@ class ALPEnergy(Target):
             print(f"TICA skipped: {e}")
             tica = None
 
+        # internal-coordinate marginal KLDs (fab/fab/utils/aldp.py
+        # evaluate_aldp parity)
+        from pita_tpu.metrics.internal_coords import evaluate_internal_coords
+
+        metrics.update(
+            evaluate_internal_coords(self, samples_fixed, data, prefix=f"{prefix}/ic")
+        )
+
         if make_plots and out_dir is not None:
             from pita_tpu.io import plotting as P
 

@@ -110,6 +110,19 @@ class TrainerConfig:
     # skip ladder rungs at transitions (energytemp_module.py:833-834)
     skip_temp: bool = False
     num_skip_temps: int = 1
+    # test-phase annealing pairs in temperature units (al3.yaml
+    # temps_to_anneal_test); None = consecutive ladder pairs
+    temps_to_anneal_test: Optional[tuple] = None
+    # LR schedule over epochs (configs/model/energytemp.yaml lr_scheduler
+    # capability): "constant" | "cosine" | "exponential"
+    lr_schedule: str = "constant"
+    lr_decay_rate: float = 0.99  # per-epoch factor for "exponential"
+    lr_min_fraction: float = 0.1  # floor for "cosine"
+    # early stopping on an eval metric (configs/callbacks/default.yaml
+    # EarlyStopping): None = off
+    early_stopping_metric: Optional[str] = None
+    early_stopping_patience: int = 3
+    early_stopping_min_delta: float = 0.0
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -178,9 +191,26 @@ class EnergyTempTrainer:
         self.ema_score = ema_init(self.params_score)
         self.ema_energy = ema_init(self.params_energy)
 
+        # LR schedule in optimizer-step units (one epoch =
+        # n_train_batches_per_epoch steps); reference attaches a per-epoch
+        # torch scheduler via configure_optimizers (models/base.py:26-47)
+        total_steps = (
+            int(cfg.max_epochs or (np.sum(cfg.num_epochs_per_temp or [100])))
+            * cfg.n_train_batches_per_epoch
+        )
+        if cfg.lr_schedule == "cosine":
+            lr = optax.cosine_decay_schedule(
+                cfg.lr, total_steps, alpha=cfg.lr_min_fraction
+            )
+        elif cfg.lr_schedule == "exponential":
+            lr = optax.exponential_decay(
+                cfg.lr, cfg.n_train_batches_per_epoch, cfg.lr_decay_rate
+            )
+        else:
+            lr = cfg.lr
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adam(cfg.lr),
+            optax.adam(lr),
         )
         self.opt_state = self.optimizer.init((self.params_score, self.params_energy))
 
@@ -568,6 +598,16 @@ class EnergyTempTrainer:
             if not k.endswith("per_sample") and k != "ln_sigma"
         }
         out[f"{prefix}/loss"] = float(total)
+        # ln-sigma-stratified loss diagnostics (energytemp_module.py:300-321,
+        # logsigma_stratified_loss — binned on the schedule's edges)
+        from pita_tpu.train.losses import stratified_losses
+
+        edges = self.noise_schedule.ln_sigma_bins(4)
+        for lname in ("score_loss", "energy_score_loss"):
+            strat = stratified_losses(
+                aux["ln_sigma"], aux[f"{lname}_per_sample"], edges, loss_name=lname
+            )
+            out.update({f"{prefix}/temp={T:.3f}/{k}": float(v) for k, v in strat.items()})
         if self.logger is not None:
             self.logger.log_metrics(out, step=self.epoch)
         return out
@@ -758,6 +798,7 @@ class EnergyTempTrainer:
             else None
         )
         dem_epochs = cfg.dem_num_training_epochs
+        best_metric, stall = np.inf, 0
         while self.epoch < max_epochs:
             t0 = time.time()
             in_dem_phase = self.dem_cfg is not None and self.epoch < dem_epochs
@@ -775,11 +816,35 @@ class EnergyTempTrainer:
                     and self.epoch > 0
                 ):
                     self.eval_epoch_end_dem("val")
-            elif (self.epoch + 1) % cfg.check_val_every_n_epoch == 0:
+            elif (
+                (self.epoch + 1) % cfg.check_val_every_n_epoch == 0
+                # ALWAYS evaluate at rung-transition epochs: the transition
+                # (next rung's buffer fill, energytemp_module.py:881-901) runs
+                # inside evaluate(); with the reference's shipped configs the
+                # transition epochs (cumsum 150/350/…) never align with the
+                # val-every-100 cadence, leaving the next rung's buffer empty
+                # — a latent reference bug we do not replicate
+                or (self.epoch + 1) in self.update_temp_epoch
+            ):
                 self.eval_step_losses("val")
-                self.evaluate("val")
+                val_metrics = self.evaluate("val")
                 if ckpt_path:
                     save_checkpoint(self, ckpt_path)
+                if cfg.early_stopping_metric is not None:
+                    # EarlyStopping callback parity (min mode, patience in
+                    # validation epochs; configs/callbacks/default.yaml)
+                    cur = val_metrics.get(cfg.early_stopping_metric, np.inf)
+                    if cur < best_metric - cfg.early_stopping_min_delta:
+                        best_metric, stall = cur, 0
+                    else:
+                        stall += 1
+                        if stall >= cfg.early_stopping_patience:
+                            print(
+                                f"early stopping at epoch {self.epoch}: "
+                                f"{cfg.early_stopping_metric} stalled at "
+                                f"{best_metric:.4g} for {stall} evals"
+                            )
+                            break
             if timer is not None:
                 timer.maybe_save()
             self.epoch += 1
@@ -792,6 +857,8 @@ class EnergyTempTrainer:
     def test(self, temps_to_anneal=None) -> dict:
         """Final sampling across ladder pairs (:1002-1081)."""
         cfg = self.cfg
+        if temps_to_anneal is None:
+            temps_to_anneal = cfg.temps_to_anneal_test
         if temps_to_anneal is None:
             pairs = [(i, i + 1) for i in range(self.n_temps - 1)]
         else:

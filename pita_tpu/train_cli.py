@@ -14,8 +14,37 @@ import sys
 import traceback
 
 
+def multirun(argv):
+    """Hydra-multirun-style sweep: ``-m key=a,b key2=x,y`` runs the cartesian
+    product sequentially, suffixing each run's out_dir (test_sweeps.py
+    capability; hydra's ``-m`` / submitit launcher stand-in)."""
+    import itertools
+
+    sweep_keys, sweep_vals, fixed = [], [], []
+    for a in argv:
+        if "=" in a and "," in a.split("=", 1)[1]:
+            k, v = a.split("=", 1)
+            sweep_keys.append(k)
+            sweep_vals.append(v.split(","))
+        else:
+            fixed.append(a)
+    results = {}
+    for combo in itertools.product(*sweep_vals):
+        run_args = fixed + [f"{k}={v}" for k, v in zip(sweep_keys, combo)]
+        tag = "_".join(f"{k.split('.')[-1]}-{v}" for k, v in zip(sweep_keys, combo))
+        if not any(a.startswith("name=") for a in run_args):
+            run_args.append(f"name_suffix={tag}")
+        print(f"=== multirun: {tag or 'single'} ===")
+        results[tag] = main(run_args)
+    print(f"multirun done: {results}")
+    return results
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "-m" in argv or "--multirun" in argv:
+        argv = [a for a in argv if a not in ("-m", "--multirun")]
+        return multirun(argv)
     from pita_tpu.configs import compose, parse_overrides, build_trainer
 
     experiment = "gmm"
@@ -23,9 +52,12 @@ def main(argv=None):
     yaml_path = None
     ckpt_path = None
     run_test = True
+    name_suffix = None
     overrides = {}
     for a in list(argv):
-        if a.startswith("experiment="):
+        if a.startswith("name_suffix="):
+            name_suffix = a.split("=", 1)[1]
+        elif a.startswith("experiment="):
             experiment = a.split("=", 1)[1]
         elif a.startswith("debug="):
             debug = a.split("=", 1)[1]
@@ -39,6 +71,8 @@ def main(argv=None):
             overrides.update(parse_overrides([a]))
 
     cfg = compose(experiment, overrides=overrides, debug=debug, yaml_path=yaml_path)
+    if name_suffix:
+        cfg.name = f"{cfg.name}_{name_suffix}"
     print(f"experiment={cfg.name} tags={cfg.tags} out_dir={cfg.out_dir}")
     trainer = build_trainer(cfg)
 

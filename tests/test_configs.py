@@ -78,3 +78,37 @@ def test_cli_smoke(tmp_path):
     import os
 
     assert os.path.exists(tmp_path / "gmm" / "metrics.csv")
+
+
+def test_new_presets_compose():
+    from pita_tpu.configs import compose
+
+    for name in ("al3", "al4", "alp_diffusion_baseline"):
+        cfg = compose(name, debug="short")
+        assert cfg.name == name
+    cfg = compose("al3")
+    assert cfg.trainer.temperatures == (1200.0, 755.95, 555.52, 408.24, 300.0)
+    assert cfg.trainer.temps_to_anneal_test == ((600.0, 600.0),)
+    b = compose("alp_diffusion_baseline")
+    assert b.integrator.resampling_interval == -1
+    assert b.integrator.debias_inference is False
+    assert b.loss.w_energy_score == 0.0
+
+
+def test_lr_schedule_and_early_stopping_knobs():
+    from pita_tpu.configs import compose, build_trainer
+
+    cfg = compose(
+        "gmm", debug="short",
+        overrides={
+            "trainer.lr_schedule": "cosine",
+            "trainer.early_stopping_metric": "val/energy_w2",
+            "trainer.early_stopping_patience": 1,
+        },
+    )
+    tr = build_trainer(cfg)
+    assert tr.cfg.lr_schedule == "cosine"
+    # one train epoch runs under the scheduled optimizer
+    tr.populate_initial_buffer()
+    aux = tr.train_one_epoch()
+    assert "score_loss" in "".join(aux)

@@ -42,3 +42,18 @@ def test_score_only_debug_mode_runs(tmp_path):
     trainer.fit(max_epochs=1)
     last = trainer.metrics_history[-1]
     assert any("energy_mean" in k for k in last)
+
+
+def test_multirun_cartesian(tmp_path):
+    """-m key=a,b runs the cartesian product with suffixed run names."""
+    from pita_tpu import train_cli
+
+    results = train_cli.main([
+        "-m", "experiment=gmm", "debug=short", "seed=1,2",
+        f"out_dir={tmp_path}", "test=false",
+    ])
+    assert len(results) == 2
+    import os
+
+    runs = os.listdir(tmp_path)
+    assert any("seed-1" in r for r in runs) and any("seed-2" in r for r in runs)

@@ -90,3 +90,25 @@ def test_test_phase_saves_samples(tmp_path):
     saved = [f for f in os.listdir(tmp_path) if f.startswith("samples_temperature")]
     assert len(saved) == 1  # one ladder pair (2.0 -> 1.0)
     assert any("energy_mean" in k for k in metrics)
+
+
+def test_transition_epochs_always_evaluated(tmp_path):
+    """Rung-transition epochs force an eval (buffer fill) even when they
+    don't align with check_val_every_n_epoch — otherwise the next rung
+    trains on an empty buffer (latent reference-config bug)."""
+    from pita_tpu.configs import compose, build_trainer
+
+    cfg = compose(
+        "gmm", debug="short",
+        overrides={
+            "trainer.check_val_every_n_epoch": 100,  # never fires in 6 epochs
+            "trainer.temperatures": (2.0, 1.0),
+            "trainer.num_epochs_per_temp": (3,),
+            "trainer.max_epochs": 6,
+        },
+    )
+    cfg.out_dir = str(tmp_path)
+    tr = build_trainer(cfg)
+    tr.fit()
+    # the transition at epoch 3 must have filled rung 1's buffer
+    assert int(tr.buffers.size[1]) > 0
