@@ -62,6 +62,32 @@ class WandbLogger:
         self._wandb.log({name: [self._wandb.Image(im) for im in images]}, step=step)
 
 
+class TensorBoardLogger:
+    """TensorBoard event files via torch.utils.tensorboard (baked-in torch;
+    configs/logger/tensorboard.yaml parity)."""
+
+    def __init__(self, out_dir: str):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self.writer = SummaryWriter(log_dir=os.path.join(out_dir, "tb"))
+
+    def log_metrics(self, metrics: dict, step: int = 0):
+        for k, v in metrics.items():
+            self.writer.add_scalar(k, float(v), global_step=step)
+        self.writer.flush()
+
+    def log_image(self, name, images, step: int = 0):
+        import numpy as np
+
+        for i, im in enumerate(images):
+            arr = np.asarray(im)
+            if arr.ndim == 3 and arr.shape[-1] in (3, 4):
+                self.writer.add_image(
+                    f"{name}/{i}", arr[..., :3], global_step=step,
+                    dataformats="HWC",
+                )
+
+
 class MultiLogger:
     def __init__(self, loggers):
         self.loggers = list(loggers)
@@ -83,6 +109,11 @@ def make_logger(out_dir: str, kinds=("csv",), **kw):
             backends.append(CSVLogger(out_dir))
         elif kind == "console":
             backends.append(ConsoleLogger())
+        elif kind == "tensorboard":
+            try:
+                backends.append(TensorBoardLogger(out_dir))
+            except ImportError:
+                print("tensorboard not available; skipping")
         elif kind == "wandb":
             try:
                 backends.append(WandbLogger(**kw))

@@ -231,25 +231,39 @@ def egnn_apply(params, module, t, x_flat, beta, with_acts: bool = False):
 # --------------------------------------------------------------------------
 
 
-def _layer_tangent_ops(lp: _LayerParams, acts: _LayerActs, mask, coords_range,
-                       attention, tanh, cd):
+def _layer_tangent_ops(lp: _LayerParams, acts: _LayerActs, diff0, mask,
+                       coords_range, attention, tanh, cd):
     """Tangent-independent per-edge operators of one layer.
 
-    G: (B,N,N,F,F) with d_m = G·d_z1 (mask folded in)
-    r: (B,N,N,F)    with d_cm = r·d_z1
+    Phase-2 factorization: beyond the edge operators
+
+        G: (B,N,N,F,F)  d_m  = G·d_z1      (mask folded in)
+        r: (B,N,N,F)    d_a  = r·d_z1      (tanh'·mask folded in)
+
+    every tangent contraction the layer needs is pre-contracted against the
+    *primal* geometry, so the tangent batch only ever touches node-sized
+    tensors and (N·F / N·3)-K matmuls — no (T, B, N², ·) tensor exists:
+
+      d_agg  = P·A + G·B + [UD·dxc − UD2·dxc] + [VD·dxs − VD2·dxs]
+      row_dw = RS·A + ř·B + [QC1·dxc − QCD·dxc] + [QE1·dxs − QED·dxs]
+      y=d_w@x= RX·A + RX2·B + [QCX1·dxc − QCXD·dxc] + [QEX1·dxs − QEXD·dxs]
+
+    with d_z1 = A_i + B_j + c_ij·w_r + e_ij·w_e, c = 2·diff·(dxc_i − dxc_j),
+    e = 2·diff0·(dxs_i − dxs_j), d_w = (d_a − w·d_norm)/denom and
+    d_norm = c/(2·norm) (the w·d_norm piece is folded into the c-operators
+    via q_c = r·w_r/denom − w/(2·norm·denom)).
     """
-    F = lp.w_e2.shape[0]
-    # base K = D(σ'2) W2ᵀ D(σ'1): K[f,g] = σ'1[f] · W2[f,g] · σ'2[g]
+    # base K = D(sp1) W2 D(sp2): K[f,g] = sp1[f] · W2[f,g] · sp2[g]
     K = (
         acts.sp1[..., :, None]
         * lp.w_e2.astype(cd)[None, None, None]
         * acts.sp2[..., None, :]
     )  # (B,N,N,F,F)
     if attention:
-        # d_m = att·d_m_pre + m_pre ⊗ (σ'att · w_attᵀ d_m_pre)
-        s_att = (acts.att * (1 - acts.att))[..., None]  # σ'(z_att)
-        q = K @ lp.w_att.astype(cd)  # (B,N,N,F,1): w_attᵀ applied after K
-        # rank-1 term [f_in, f_out] = (σ'att·q)[f_in] · m_pre[f_out]
+        # d_m = att·d_m_pre + m_pre (x) (s_att · w_att^T d_m_pre)
+        s_att = (acts.att * (1 - acts.att))[..., None]
+        q = K @ lp.w_att.astype(cd)  # (B,N,N,F,1)
+        # rank-1 term [f_in, f_out] = (s_att·q)[f_in] · m_pre[f_out]
         G = acts.att[..., None, None] * K + (
             (q * s_att[..., None]) @ acts.m_pre[..., None, :]
         )
@@ -257,47 +271,68 @@ def _layer_tangent_ops(lp: _LayerParams, acts: _LayerActs, mask, coords_range,
         G = K
     G = G * mask[None, :, :, None, None].astype(cd)
 
-    # r = Gᵀ̃ĉ where ĉ = W_c1 (σ'cz ⊙ w_c2), with the tanh chain factor folded
-    chat = (acts.sp_cz * lp.w_c2.astype(cd)[:, 0]) @ lp.w_c1.astype(cd).T  # (B,N,N,F)
+    # r = G·chat where chat = W_c1 (sp_cz ⊙ w_c2), tanh'·mask folded
+    chat = (acts.sp_cz * lp.w_c2.astype(cd)[:, 0]) @ lp.w_c1.astype(cd).T
     r = jnp.einsum("bnmfg,bnmg->bnmf", G, chat)
     if tanh:
         dtanh = (1.0 - jnp.tanh(acts.cm) ** 2) * coords_range
     else:
         dtanh = jnp.ones_like(acts.cm)
-    # d_a = dtanh·d_cm·mask; fold dtanh·mask into r so d_a = r̃·d_z1
     r = r * (dtanh * mask)[..., None].astype(cd)
-    return G, r
 
+    norm = acts.norm
+    denom = (norm + 1.0).astype(jnp.float32)
+    w = acts.w
+    x = acts.x_in  # (B,N,3)
+    diff = acts.diff.astype(cd)
+    d0 = diff0.astype(cd)
 
-def _coord_tangent(acts, d_a, d_norm, dxc, x):
-    """Tangent of x_out = x + x·rowsum(w) − w@x given d_w decomposition.
+    # d_agg operators
+    P = jnp.sum(G, axis=2)  # (B,N,F,F)
+    u = jnp.einsum("bnmfg,f->bnmg", G, lp.w_scal[0].astype(cd))
+    v = jnp.einsum("bnmfg,f->bnmg", G, lp.w_scal[1].astype(cd))
+    UD = jnp.einsum("bnmg,bnmd->bngd", u, diff)
+    UD2 = u[..., None] * diff[..., None, :]  # (B,N,N,F,3)
+    VD = jnp.einsum("bnmg,bnmd->bngd", v, d0)
+    VD2 = v[..., None] * d0[..., None, :]
 
-    d_w = (d_a − w·d_norm)/denom, all (T,B,N,N) scalars (compute dtype);
-    contractions accumulate in f32. dxc: (T,B,N,3) f32; returns f32.
-    """
-    cd = d_a.dtype
-    denom = (acts.norm + 1.0).astype(cd)
-    d_w = (d_a - acts.w[None].astype(cd) * d_norm) / denom[None]
-    row_w = jnp.sum(acts.w, axis=2)  # (B,N) f32
-    row_dw = jnp.sum(d_w.astype(jnp.float32), axis=3)  # (T,B,N)
-    term = (
-        dxc
-        + dxc * row_w[None, ..., None]
-        + x[None] * row_dw[..., None]
-        - jnp.einsum("tbnm,bmd->tbnd", d_w, x.astype(cd),
-                     preferred_element_type=jnp.float32)
-        - jnp.einsum("bnm,tbmd->tbnd", acts.w, dxc)
+    # coordinate-path scalar operators: q_c/q_e fold the d_a and -w·d_norm
+    # pieces of d_w (both proportional to c)
+    rc = jnp.einsum("bnmf,f->bnm", r, lp.w_scal[0].astype(cd)).astype(jnp.float32)
+    re = jnp.einsum("bnmf,f->bnm", r, lp.w_scal[1].astype(cd)).astype(jnp.float32)
+    q_c = (rc / denom - w / (2 * norm * denom)).astype(cd)
+    q_e = (re / denom).astype(cd)
+    rdiv = r / denom[..., None].astype(cd)
+
+    RS = jnp.sum(rdiv, axis=2)  # (B,N,F)
+    xc16 = x.astype(cd)
+    RX = jnp.einsum("bnmf,bmd->bnfd", rdiv, xc16)
+    RX2 = rdiv[..., None] * xc16[:, None, :, None, :]  # (B,N,N,F,3)
+    QC1 = jnp.einsum("bnm,bnmd->bnd", q_c, diff)
+    QCD = q_c[..., None] * diff  # (B,N,N,3)
+    QE1 = jnp.einsum("bnm,bnmd->bnd", q_e, d0)
+    QED = q_e[..., None] * d0
+    QCX1 = jnp.einsum("bnmd,bmq->bndq", QCD, xc16)
+    QCXD = QCD[..., None] * xc16[:, None, :, None, :]  # (B,N,N,3,3)
+    QEX1 = jnp.einsum("bnmd,bmq->bndq", QED, xc16)
+    QEXD = QED[..., None] * xc16[:, None, :, None, :]
+    return dict(
+        G=G, P=P, RS=RS, rdiv=rdiv, RX=RX, RX2=RX2,
+        UD=UD, UD2=UD2, VD=VD, VD2=VD2,
+        QC1=QC1, QCD=QCD, QE1=QE1, QED=QED,
+        QCX1=QCX1, QCXD=QCXD, QEX1=QEX1, QEXD=QEXD,
     )
-    return term
 
 
 def egnn_jacobian_trace(params, module, t, x_flat, beta, tangent_chunk: int = None):
-    """(F(x), tr ∂F/∂x) for the EGNN backbone — exact, edge-operator method.
+    """(F(x), tr dF/dx) for the EGNN backbone — exact, edge-operator method.
 
     Propagates the full D-dimensional tangent basis with per-edge linear
     operators precomputed from one primal pass; equivalent to
-    ``jacfwd``-trace (ops/divergence.py:exact_divergence) in O(1) primal
-    passes and no (T, N², F) tensors.
+    ``jacfwd``-trace (ops/divergence.py:exact_divergence) with O(1) primal
+    passes, no (T, N², ·) tensors, and the input-basis (``dxs``) contractions
+    resolved as gathers (the basis is one-hot: contracting an operator with
+    dxs just indexes it at (p, eps) = divmod(tangent_index, 3)).
     """
     B = x_flat.shape[0]
     N, D = module.n_particles, module.n_spatial_dim
@@ -308,10 +343,9 @@ def egnn_jacobian_trace(params, module, t, x_flat, beta, tangent_chunk: int = No
         params, module, t, x_flat, beta, with_acts=True
     )
 
-    # per-layer tangent operators (tangent-independent)
     ops = [
-        _layer_tangent_ops(lp, acts, mask, coords_range, module.attention,
-                           module.tanh, cd)
+        _layer_tangent_ops(lp, acts, diff0, mask, coords_range,
+                           module.attention, module.tanh, cd)
         for lp, acts in zip(layers, all_acts)
     ]
 
@@ -321,54 +355,81 @@ def egnn_jacobian_trace(params, module, t, x_flat, beta, tangent_chunk: int = No
     def run_chunk(tangent_idx):
         """tangent_idx: (Tc,) flat coordinate indices; returns (Tc, B) diag."""
         Tc = tangent_idx.shape[0]
-        basis = jax.nn.one_hot(tangent_idx, dim, dtype=jnp.float32)  # (Tc, dim)
-        dxs = jnp.broadcast_to(
-            basis.reshape(Tc, 1, N, D), (Tc, B, N, D)
-        )  # (T,B,N,3)
+        p_idx = tangent_idx // D  # particle of each basis tangent
+        e_idx = tangent_idx % D  # spatial component
 
-        # d radial = 2·diff_ij·(dx_i − dx_j), contracted against the exact
-        # primal diff (no (T,B,N,N,3) tensor, no cancellation). The (T,B,N,N)
-        # scalar fields ride in the compute dtype — they are the dominant
-        # HBM traffic of the tangent pass.
-        def d_radial(diff, dx):
-            diff = diff.astype(cd)
-            dx = dx.astype(cd)
-            a = jnp.einsum("bnmd,tbnd->tbnm", diff, dx)
-            b = jnp.einsum("bnmd,tbmd->tbnm", diff, dx)
-            return 2 * (a - b)
+        def gather_edge(op):
+            """contract op[b,n,m,...,d] with the one-hot dxs over (m,d):
+            -> op[b,n,p_t,...,e_t], advanced-index dims moved to front."""
+            return op[:, :, p_idx, ..., e_idx]  # (Tc,B,N,...)
 
-        d_edge = d_radial(diff0, dxs)  # (T,B,N,N) cd
+        def gather_node(op):
+            """contract op[b,n,...,d] with dxs over d at n==p_t:
+            -> op[b,n,...,e_t] masked to n==p_t."""
+            g = jnp.moveaxis(op[..., e_idx], -1, 0)  # (Tc,B,N,...)
+            node_mask = (jnp.arange(N)[None] == p_idx[:, None]).astype(g.dtype)
+            extra = (1,) * (g.ndim - 3)
+            return g * node_mask.reshape(Tc, 1, N, *extra)
 
         dh = jnp.zeros((Tc, B, N, layers[0].w_src.shape[0]), cd)
+        # dxc starts as the basis itself
+        basis = jax.nn.one_hot(tangent_idx, dim, dtype=jnp.float32)
+        dxs = jnp.broadcast_to(basis.reshape(Tc, 1, N, D), (Tc, B, N, D))
         dxc = dxs
-        for lp, acts, (G, r) in zip(layers, all_acts, ops):
-            d_rad = d_radial(acts.diff, dxc)  # (T,B,N,N) cd
-            d_norm = d_rad / (2 * acts.norm[None]).astype(cd)
+
+        for li, (lp, acts, op) in enumerate(zip(layers, all_acts, ops)):
             A = dh @ lp.w_src.astype(cd)  # (T,B,N,F)
             Bv = dh @ lp.w_dst.astype(cd)
-            c_scal = d_rad
-            e_scal = d_edge
+            dxc16 = dxc.astype(cd)
+            first = li == 0  # dxc == dxs: reuse the gather path for c-terms
 
-            # --- d_agg_i = Σ_j G_ij d_z1_ij, d_z1 = A_i + B_j + c·w_r + e·w_e
-            F = A.shape[-1]
-            P = jnp.sum(G, axis=2)  # (B,N,F,F)
-            t1 = jnp.einsum("bnfg,tbnf->tbng", P, A)
+            # --- d_agg = P·A + G·B + c-terms + e-terms
+            t1 = jnp.einsum("bnfg,tbnf->tbng", op["P"], A)
             # the dominant contraction: (N·F, N·F) @ (N·F, T) per chain
-            t2 = jnp.einsum("bnmfg,tbmf->tbng", G, Bv)
-            u = jnp.einsum("bnmfg,f->bnmg", G, lp.w_scal[0].astype(cd))
-            v = jnp.einsum("bnmfg,f->bnmg", G, lp.w_scal[1].astype(cd))
-            t3 = jnp.einsum("bnmg,tbnm->tbng", u, c_scal)
-            t4 = jnp.einsum("bnmg,tbnm->tbng", v, e_scal)
+            t2 = jnp.einsum("bnmfg,tbmf->tbng", op["G"], Bv)
+            if first:
+                t3 = 2 * (gather_node(op["UD"]) - gather_edge(op["UD2"]))
+            else:
+                t3 = 2 * (
+                    jnp.einsum("bngd,tbnd->tbng", op["UD"], dxc16)
+                    - jnp.einsum("bnmgd,tbmd->tbng", op["UD2"], dxc16)
+                )
+            t4 = 2 * (gather_node(op["VD"]) - gather_edge(op["VD2"]))
             d_agg = t1 + t2 + t3 + t4  # (T,B,N,F)
 
-            # --- d_a_ij = r_ij · d_z1_ij (tanh/mask factors folded into r)
-            ra = jnp.einsum("bnmf,tbnf->tbnm", r, A)
-            rb = jnp.einsum("bnmf,tbmf->tbnm", r, Bv)
-            rc = jnp.einsum("bnmf,f->bnm", r, lp.w_scal[0].astype(cd))
-            re = jnp.einsum("bnmf,f->bnm", r, lp.w_scal[1].astype(cd))
-            d_a = ra + rb + rc[None] * c_scal + re[None] * e_scal
-
-            dxc = _coord_tangent(acts, d_a, d_norm, dxc, acts.x_in)
+            # --- coordinate tangent: row_dw and y = d_w @ x, operator form
+            row_dw = (
+                jnp.einsum("bnf,tbnf->tbn", op["RS"], A)
+                + jnp.einsum("bnmf,tbmf->tbn", op["rdiv"], Bv)
+                + 2 * (gather_node(op["QE1"]) - gather_edge(op["QED"]))
+            )
+            y = (
+                jnp.einsum("bnfd,tbnf->tbnd", op["RX"], A)
+                + jnp.einsum("bnmfd,tbmf->tbnd", op["RX2"], Bv)
+                + 2 * (gather_node(op["QEX1"]) - gather_edge(op["QEXD"]))
+            )
+            if first:
+                row_dw = row_dw + 2 * (
+                    gather_node(op["QC1"]) - gather_edge(op["QCD"])
+                )
+                y = y + 2 * (gather_node(op["QCX1"]) - gather_edge(op["QCXD"]))
+            else:
+                row_dw = row_dw + 2 * (
+                    jnp.einsum("bnd,tbnd->tbn", op["QC1"], dxc16)
+                    - jnp.einsum("bnmd,tbmd->tbn", op["QCD"], dxc16)
+                )
+                y = y + 2 * (
+                    jnp.einsum("bndq,tbnd->tbnq", op["QCX1"], dxc16)
+                    - jnp.einsum("bnmdq,tbmd->tbnq", op["QCXD"], dxc16)
+                )
+            row_w = jnp.sum(acts.w, axis=2)  # (B,N) f32
+            dxc = (
+                dxc
+                + dxc * row_w[None, ..., None]
+                + acts.x_in[None] * row_dw[..., None].astype(jnp.float32)
+                - y.astype(jnp.float32)
+                - jnp.einsum("bnm,tbmd->tbnd", acts.w, dxc)
+            )
 
             # --- node update tangent
             d_node_in = jnp.concatenate([dh, d_agg], axis=-1)

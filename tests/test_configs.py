@@ -112,3 +112,13 @@ def test_lr_schedule_and_early_stopping_knobs():
     tr.populate_initial_buffer()
     aux = tr.train_one_epoch()
     assert "score_loss" in "".join(aux)
+
+
+def test_tensorboard_logger(tmp_path):
+    from pita_tpu.io.logging import make_logger
+
+    lg = make_logger(str(tmp_path), kinds=("tensorboard", "csv"))
+    lg.log_metrics({"a/b": 1.0}, step=3)
+    import os
+
+    assert os.path.isdir(tmp_path / "tb") and len(os.listdir(tmp_path / "tb")) > 0
