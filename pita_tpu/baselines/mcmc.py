@@ -192,3 +192,62 @@ def generate_lj_dataset(
         out.append(np.asarray(x))
     data = np.concatenate(out, axis=0)[:num_samples]
     return data
+
+
+def split_rhat(chains_stat: np.ndarray) -> float:
+    """Split-R̂ of a scalar statistic; chains_stat: (n_chains, n_draws).
+
+    Gelman et al. split-chain potential scale reduction — the convergence
+    diagnostic missing from the reference's ground-truth protocol
+    (sampling/README.md runs ×10 but never checks agreement)."""
+    c = np.asarray(chains_stat, np.float64)
+    n = c.shape[1] // 2
+    halves = np.concatenate([c[:, :n], c[:, n : 2 * n]], axis=0)  # (2m, n)
+    m, n = halves.shape
+    means = halves.mean(axis=1)
+    W = halves.var(axis=1, ddof=1).mean()
+    B = n * means.var(ddof=1)
+    var_plus = (n - 1) / n * W + B / n
+    return float(np.sqrt(var_plus / max(W, 1e-300)))
+
+
+def generate_lj_dataset_reference_protocol(
+    target,
+    num_samples: int = 20000,
+    n_runs: int = 10,
+    seed: int = 0,
+    warmup: int = 12000,
+    rhat_tolerance: float = 1.05,
+):
+    """The reference's ground-truth MCMC protocol, with a convergence check.
+
+    ``sampling/sample_lj13.py`` / ``sample_lj55.py`` draw 20000 samples after
+    2000 warmup across ×10 independent runs (sampling/README.md:3-10). Here
+    each run is an independently seeded adaptive-MALA ensemble; runs are
+    pooled only after the split-R̂ of the per-run energy traces passes
+    ``rhat_tolerance``. Returns (samples, diagnostics dict).
+    """
+    per_run = int(np.ceil(num_samples / n_runs))
+    runs = []
+    energies = []
+    for r in range(n_runs):
+        data = generate_lj_dataset(
+            target, per_run, seed=seed + 1000 * r, warmup=warmup
+        )
+        runs.append(data)
+        energies.append(np.asarray(target.energy(jnp.asarray(data))))
+    e = np.stack(energies)  # (n_runs, per_run)
+    rhat = split_rhat(e)
+    diag = {
+        "rhat_energy": rhat,
+        "per_run_energy_mean": [float(m) for m in e.mean(axis=1)],
+        "per_run_energy_std": [float(s) for s in e.std(axis=1)],
+        "converged": bool(rhat < rhat_tolerance),
+    }
+    data = np.concatenate(runs, axis=0)[:num_samples]
+    if not diag["converged"]:
+        print(
+            f"WARNING: ground-truth runs disagree (R-hat {rhat:.3f} > "
+            f"{rhat_tolerance}); treat the pooled dataset with caution"
+        )
+    return data, diag

@@ -37,6 +37,17 @@ def _bcast(v, B, dtype):
     return jnp.broadcast_to(jnp.asarray(v, dtype).reshape(-1), (B,))
 
 
+def _apply_backbone(backbone, params, t, x, beta):
+    """Backbone forward; EGNN backbones route through the factorized-geometry
+    pure function (nets/egnn_fast.egnn_apply — identical math, tested, with
+    cheaper reverse-mode structure: no (B, N, N, 3) cotangent tensors)."""
+    from pita_tpu.nets.egnn_fast import egnn_apply, supports_fast_divergence
+
+    if supports_fast_divergence(backbone):
+        return egnn_apply(params, backbone, t, x, beta)
+    return backbone.apply(params, t, x, beta)
+
+
 class ScoreWrapper:
     """EDM-preconditioned denoiser/score over a vector backbone."""
 
@@ -55,7 +66,7 @@ class ScoreWrapper:
         ht = _bcast(ht, B, xt.dtype)
         beta = _bcast(beta, B, xt.dtype)
         c_s, c_in, c_out, c_noise = _coeffs(ht)
-        F = self.backbone.apply(params, c_noise, c_in[:, None] * xt, beta)
+        F = _apply_backbone(self.backbone, params, c_noise, c_in[:, None] * xt, beta)
         D = c_s[:, None] * xt + c_out[:, None] * F
         score = (D - xt) / ht[:, None]
         if self.precondition_beta:
@@ -102,7 +113,7 @@ class EnergyWrapper:
         beta = _bcast(beta, B, xt.dtype)
         c_s, c_in, c_out, c_noise = _coeffs(ht)
         x_in = c_in[:, None] * xt
-        F = self.backbone.apply(params, c_noise, x_in, beta)
+        F = _apply_backbone(self.backbone, params, c_noise, x_in, beta)
         U_theta = jnp.sum(F * x_in, axis=-1)
         E = (1 - c_s) / (2 * ht) * jnp.sum(xt**2, axis=-1) - c_out / (c_in * ht) * U_theta
         if self.precondition_beta:

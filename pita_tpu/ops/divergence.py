@@ -33,18 +33,52 @@ def _chunked_vmap(single, t, x, chunk_size):
     return out.reshape(-1)[:B]
 
 
-def exact_divergence(f, t: jnp.ndarray, x: jnp.ndarray, chunk_size=None) -> jnp.ndarray:
+def exact_divergence(
+    f, t: jnp.ndarray, x: jnp.ndarray, chunk_size=None, tangent_chunk: int = None
+) -> jnp.ndarray:
     """tr(∂f/∂x) per sample; f maps (t:(B,), x:(B,D)) -> (B,D).
 
-    Equivalent of ``compiled_divergence_fn`` (utils.py:30-40), forward-mode.
-    ``chunk_size`` bounds the D-wide tangent batch (see _chunked_vmap).
+    Equivalent of ``compiled_divergence_fn`` (utils.py:30-40), forward-mode —
+    but via ``jax.linearize``: the primal is computed ONCE for the whole
+    batch and only the linearized tangent map runs D times (jacfwd's
+    vmap-of-jvp recomputes the primal per tangent; measured 2.3× slower on
+    the LJ55 EGNN). ``tangent_chunk`` bounds the tangent batch in HBM;
+    ``chunk_size`` additionally chunks the chain batch.
     """
+    B, D = x.shape
 
-    def single(ti, xi):
-        jac = jax.jacfwd(lambda xx: f(ti[None], xx[None])[0])(xi)
-        return jnp.trace(jac)
+    def batch_div(tb, xb):
+        _, f_lin = jax.linearize(lambda xx: f(tb, xx), xb)
+        Tc = tangent_chunk or D
+        n_chunks = -(-D // Tc)
+        pad = n_chunks * Tc - D
+        idx = jnp.pad(jnp.arange(D), (0, pad)).reshape(n_chunks, Tc)
+        valid = (jnp.arange(n_chunks * Tc) < D).reshape(n_chunks, Tc)
 
-    return _chunked_vmap(single, t, x, chunk_size)
+        def one_chunk(ids):
+            vs = jax.nn.one_hot(ids, D, dtype=xb.dtype)  # (Tc, D)
+            outs = jax.vmap(
+                lambda v: f_lin(jnp.broadcast_to(v, xb.shape))
+            )(vs)  # (Tc, B, D)
+            return jnp.take_along_axis(outs, ids[:, None, None], axis=2)[..., 0]
+
+        if n_chunks == 1:
+            diag = one_chunk(idx[0])  # (D, B)
+            return jnp.sum(diag, axis=0)
+        diags = jax.lax.map(one_chunk, idx)  # (n_chunks, Tc, B)
+        return jnp.sum(diags * valid[..., None], axis=(0, 1))
+
+    if chunk_size is None or B <= chunk_size:
+        return batch_div(t, x)
+    pad = (-B) % chunk_size
+    tp = jnp.pad(t, (0, pad))
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    nb = (B + pad) // chunk_size
+    out = jax.lax.map(
+        lambda args: batch_div(*args),
+        (tp.reshape(nb, chunk_size), xp.reshape(nb, chunk_size, D)),
+    )
+    return out.reshape(-1)[:B]
 
 
 def exact_laplacian(u, t: jnp.ndarray, x: jnp.ndarray, chunk_size=None) -> jnp.ndarray:

@@ -127,3 +127,29 @@ def test_ema_warmup_and_convergence():
     for _ in range(200):
         ema = ema_update(ema, new, decay=0.999)
     assert float(jnp.abs(ema.params["w"] - 1.0).max()) < 0.05
+
+
+def test_wrappers_factorized_forward_matches_flax(rng):
+    """Wrapper outputs are unchanged by the factorized-EGNN routing."""
+    from pita_tpu.nets import EGNNBackbone, ScoreWrapper, EnergyWrapper
+    from pita_tpu.nets import precondition as P
+
+    bb = EGNNBackbone(n_particles=5, n_spatial_dim=3, hidden_nf=16, n_layers=2)
+    score, energy = ScoreWrapper(bb), EnergyWrapper(bb)
+    ps = score.init(rng, 15)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (4, 15))
+    ht = jnp.full((4,), 0.3)
+    d_fast = score.denoiser(ps, ht, x, 1.0)
+    e_fast = energy.energy(ps, ht, x, 1.0)
+    g_fast = energy.grad_x(ps, ht, x, 1.0)
+    orig = P._apply_backbone
+    try:
+        P._apply_backbone = lambda bb, p, t, xx, b: bb.apply(p, t, xx, b)
+        d_ref = score.denoiser(ps, ht, x, 1.0)
+        e_ref = energy.energy(ps, ht, x, 1.0)
+        g_ref = energy.grad_x(ps, ht, x, 1.0)
+    finally:
+        P._apply_backbone = orig
+    np.testing.assert_allclose(np.asarray(d_fast), np.asarray(d_ref), rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(e_fast), np.asarray(e_ref), rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), rtol=2e-3, atol=2e-3)

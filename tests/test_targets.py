@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pita_tpu.targets import GMM40, LJ13, DoubleWell4, MeanFreePrior, IsotropicGaussianPrior
 from pita_tpu.targets.gmm import gmm_power
@@ -138,3 +139,26 @@ def test_interatomic_dist_shape(rng):
     d = lj.interatomic_dist(x)
     assert d.shape == (5, 13 * 12 // 2)
     assert bool(jnp.all(d > 0))
+
+
+def test_split_rhat_detects_disagreement():
+    from pita_tpu.baselines.mcmc import split_rhat
+
+    rng = np.random.default_rng(0)
+    same = rng.normal(size=(8, 400))
+    assert split_rhat(same) < 1.02
+    shifted = same + np.linspace(0, 3, 8)[:, None]
+    assert split_rhat(shifted) > 1.3
+
+
+@pytest.mark.slow
+def test_reference_protocol_lj13_converges(tmp_path):
+    from pita_tpu.baselines.mcmc import generate_lj_dataset_reference_protocol
+    from pita_tpu.targets import LJ13
+
+    t = LJ13(temperature=4.0)  # hot rung mixes fast
+    data, diag = generate_lj_dataset_reference_protocol(
+        t, num_samples=512, n_runs=3, warmup=3000
+    )
+    assert data.shape == (512, t.dim)
+    assert diag["rhat_energy"] < 1.2
