@@ -69,7 +69,9 @@ def _lj13() -> dict:
             resample_at_end=True,
             post_mcmc_steps=0,
             num_negative_time_steps=0,
-            divergence_chunk_size=64,
+            # chain block for the divergence pass (the edge-operator fast
+            # path holds (B, N^2, F^2) operators; LJ13 fits large blocks)
+            divergence_chunk_size=1024,
             # bounded dispatches: long single XLA executions trip tunneled-
             # runtime watchdogs (results are bit-identical, see integrator)
             segment_size=100,
@@ -89,7 +91,7 @@ def _lj55() -> dict:
         temperatures=(2.0, 1.5, 1.2, 1.0),
         num_epochs_per_temp=(200, 200, 300),
     )
-    cfg["integrator"] = dict(cfg["integrator"], divergence_chunk_size=16)
+    cfg["integrator"] = dict(cfg["integrator"], divergence_chunk_size=256)
     return cfg
 
 
