@@ -91,8 +91,16 @@ def compute_sde_terms(
         """U_θ as a function of integration time (through h) and position."""
         return energy_wrapper.energy(params_energy, noise_schedule.h(tt), xx, beta, **pin_kw)
 
-    U = U_of_tx(t, x)
-    nabla_U, dU_dt = jax.grad(lambda xx, tt: jnp.sum(U_of_tx(tt, xx)), argnums=(0, 1))(x, t)
+    # one energy pass: the summed value drives the (x, t) grads and the
+    # per-sample U rides out as aux (the reference evaluates the energy net
+    # separately for U and for its grads — a full extra forward)
+    def U_sum_and_vec(xx, tt):
+        Uv = U_of_tx(tt, xx)
+        return jnp.sum(Uv), Uv
+
+    (_, U), (nabla_U, dU_dt) = jax.value_and_grad(
+        U_sum_and_vec, argnums=(0, 1), has_aux=True
+    )(x, t)
 
     if has_score:
         s_t = score_wrapper.score(params_score, ht, x, beta)
