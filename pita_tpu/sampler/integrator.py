@@ -69,6 +69,11 @@ class IntegratorConfig:
     divergence_tangent_chunk: int = None
     hutchinson_probes: int = 1
     hutchpp_rank: int = 16
+    # fused Pallas EGNN forward for the score evaluation inside the EM step
+    # (inference-only path — the drift is stop-gradient'd, so no AD needed)
+    pallas_score_forward: bool = False
+    pallas_block_b: int = 8
+    pallas_interpret: bool = False  # interpret mode (CPU tests)
     # FK weight-drift clamp quantile (sdes.py:230 clamps at 0.9; 1.0 = off)
     weight_clip_quantile: float = 0.9
     # recompute the (expensive) divergence term every K steps and reuse it in
@@ -177,6 +182,19 @@ def integrate_sde(
             return remove_mean(x, n_part, n_sdim)
         return x
 
+    score_backbone_fwd = None
+    if cfg.pallas_score_forward and score_wrapper is not None:
+        from pita_tpu.nets.egnn_fast import supports_fast_divergence
+        from pita_tpu.ops.pallas.egnn_fwd import egnn_forward_pallas
+
+        if supports_fast_divergence(getattr(score_wrapper, "backbone", None)):
+            score_backbone_fwd = (
+                lambda p, tt, xx, bb: egnn_forward_pallas(
+                    p, score_wrapper.backbone, tt, xx, bb,
+                    block_b=cfg.pallas_block_b, interpret=cfg.pallas_interpret,
+                )
+            )
+
     def body(carry, inp):
         # params and beta ride in the carry (unchanged) so the compiled
         # segment function is reusable across parameter updates
@@ -207,6 +225,7 @@ def integrate_sde(
                 divergence_key=k_div,
                 clip_quantile=cfg.weight_clip_quantile,
                 div_bt_override=div_override,
+                score_backbone_fwd=score_backbone_fwd,
             )
 
         if cfg.divergence_update_interval <= 1 or resampling_interval == -1:

@@ -34,6 +34,25 @@ from pita_tpu.ops.divergence import (
 )
 
 
+def _score_eval(score_wrapper, params, ht, x, beta, backbone_fwd=None):
+    """score(x) with a pluggable backbone forward (e.g. the fused Pallas
+    kernel on the sampler path, where no AD is needed — the integrator
+    stop-gradients the drift). None → the wrapper's own path."""
+    if backbone_fwd is None:
+        return score_wrapper.score(params, ht, x, beta)
+    from pita_tpu.nets.precondition import _bcast, _coeffs
+
+    B = x.shape[0]
+    htb = _bcast(ht, B, x.dtype)
+    c_s, c_in, c_out, c_noise = _coeffs(htb)
+    F = backbone_fwd(params, c_noise, c_in[:, None] * x, beta)
+    score = ((c_s - 1.0)[:, None] * x + c_out[:, None] * F) / htb[:, None]
+    if score_wrapper.precondition_beta:
+        bb = _bcast(beta, B, x.dtype)
+        score = score * bb[:, None]
+    return score
+
+
 class SDETerms(NamedTuple):
     """Per-chain drift terms (reference sdes.py:34-92)."""
 
@@ -67,6 +86,7 @@ def compute_sde_terms(
     hutchpp_rank: int = 16,
     divergence_key=None,
     div_bt_override=None,
+    score_backbone_fwd=None,
 ) -> SDETerms:
     """Assemble drift_X and drift_A at times t (B,) for chains x (B, D)."""
     B = x.shape[0]
@@ -79,7 +99,7 @@ def compute_sde_terms(
 
     if not debias:
         # plain reverse VE SDE: drift = γ · s_θ · g² (sdes.py:117-128)
-        s_t = score_wrapper.score(params_score, ht, x, beta)
+        s_t = _score_eval(score_wrapper, params_score, ht, x, beta, score_backbone_fwd)
         drift_X = gamma[:, None] * s_t * g2[:, None]
         return SDETerms(drift_X=drift_X, drift_A=jnp.zeros((B,), x.dtype))
 
@@ -103,7 +123,7 @@ def compute_sde_terms(
     )(x, t)
 
     if has_score:
-        s_t = score_wrapper.score(params_score, ht, x, beta)
+        s_t = _score_eval(score_wrapper, params_score, ht, x, beta, score_backbone_fwd)
         bt = s_t * g2[:, None] / 2
     else:
         bt = -nabla_U * g2[:, None] / 2

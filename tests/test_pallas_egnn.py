@@ -1,0 +1,64 @@
+"""Fused Pallas EGNN forward vs the XLA reference path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pita_tpu.nets import EGNNBackbone
+from pita_tpu.nets.egnn_fast import egnn_apply
+from pita_tpu.ops.pallas.egnn_fwd import egnn_forward_pallas
+
+
+def test_pallas_forward_matches_xla(rng):
+    mod = EGNNBackbone(n_particles=7, n_spatial_dim=3, hidden_nf=16, n_layers=2)
+    t = jax.random.uniform(rng, (10,))
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (10, 21))
+    beta = jnp.asarray(1.2)
+    params = mod.init(jax.random.fold_in(rng, 2), t, x, beta)
+    ref = egnn_apply(params, mod, t, x, beta)
+    k = egnn_forward_pallas(params, mod, t, x, beta, block_b=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_forward_no_attention_no_tanh(rng):
+    mod = EGNNBackbone(n_particles=5, n_spatial_dim=3, hidden_nf=8, n_layers=3,
+                       attention=False, tanh=False)
+    t = jax.random.uniform(rng, (3,))
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (3, 15)) * 0.5
+    params = mod.init(jax.random.fold_in(rng, 2), t, x, jnp.asarray(1.0))
+    ref = egnn_apply(params, mod, t, x, jnp.asarray(1.0))
+    k = egnn_forward_pallas(params, mod, t, x, jnp.asarray(1.0), block_b=2,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_integrator_pallas_score_matches_default(rng):
+    """The pallas_score_forward flag must not change sampler results beyond
+    float reassociation (interpret mode on CPU)."""
+    from pita_tpu.nets import EnergyWrapper, ScoreWrapper
+    from pita_tpu.sampler import IntegratorConfig, integrate_sde
+    from pita_tpu.schedules import (
+        ConstantAnnealingSchedule,
+        ElucidatingNoiseSchedule,
+    )
+    from pita_tpu.targets import LJ13
+
+    target = LJ13(temperature=2.0)
+    mod = lambda: EGNNBackbone(n_particles=13, n_spatial_dim=3, hidden_nf=8,
+                               n_layers=2)
+    score, energy = ScoreWrapper(mod()), EnergyWrapper(mod())
+    ps = score.init(rng, target.dim)
+    pe = energy.init(jax.random.fold_in(rng, 1), target.dim)
+    sched = ElucidatingNoiseSchedule(sigma_min=0.05, sigma_max=10.0, rho=7.0)
+    anneal = ConstantAnnealingSchedule(annealing_factor=1.2)
+    x1 = jax.random.normal(jax.random.fold_in(rng, 2), (6, target.dim)) * 3.0
+    base = IntegratorConfig(num_integration_steps=4, end_resampling_step=4,
+                            resampling_interval=2)
+    r0 = integrate_sde(jax.random.fold_in(rng, 3), x1, score, energy, ps, pe,
+                       sched, anneal, target, 1.0, base)
+    r1 = integrate_sde(jax.random.fold_in(rng, 3), x1, score, energy, ps, pe,
+                       sched, anneal, target, 1.0,
+                       base.replace(pallas_score_forward=True,
+                                    pallas_block_b=2, pallas_interpret=True))
+    np.testing.assert_allclose(np.asarray(r1.samples), np.asarray(r0.samples),
+                               rtol=1e-4, atol=1e-4)
