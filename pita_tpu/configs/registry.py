@@ -91,7 +91,10 @@ def _lj55() -> dict:
         temperatures=(2.0, 1.5, 1.2, 1.0),
         num_epochs_per_temp=(200, 200, 300),
     )
-    cfg["integrator"] = dict(cfg["integrator"], divergence_chunk_size=256)
+    # chain block for the edge-operator divergence: the per-layer (B, N², F²)
+    # operators are ~0.8 GB at block 128 on LJ55 — block 256 OOMs the chip
+    # when the trainer's state is resident
+    cfg["integrator"] = dict(cfg["integrator"], divergence_chunk_size=128)
     return cfg
 
 

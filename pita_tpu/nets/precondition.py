@@ -106,14 +106,21 @@ class EnergyWrapper:
         pin: bool = False,
         t: Optional[jnp.ndarray] = None,
         energy_function: Any = None,
+        backbone_fwd: Any = None,
     ):
-        """E_θ(h, x, β): (B,) (energy_net.py:14-49)."""
+        """E_θ(h, x, β): (B,) (energy_net.py:14-49).
+
+        ``backbone_fwd`` optionally replaces the backbone application (e.g.
+        the fused Pallas forward+backward on the sampler's drift path)."""
         B = xt.shape[0]
         ht = _bcast(ht, B, xt.dtype)
         beta = _bcast(beta, B, xt.dtype)
         c_s, c_in, c_out, c_noise = _coeffs(ht)
         x_in = c_in[:, None] * xt
-        F = _apply_backbone(self.backbone, params, c_noise, x_in, beta)
+        if backbone_fwd is not None:
+            F = backbone_fwd(params, c_noise, x_in, beta)
+        else:
+            F = _apply_backbone(self.backbone, params, c_noise, x_in, beta)
         U_theta = jnp.sum(F * x_in, axis=-1)
         E = (1 - c_s) / (2 * ht) * jnp.sum(xt**2, axis=-1) - c_out / (c_in * ht) * U_theta
         if self.precondition_beta:

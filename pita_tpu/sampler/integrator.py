@@ -72,6 +72,9 @@ class IntegratorConfig:
     # fused Pallas EGNN forward for the score evaluation inside the EM step
     # (inference-only path — the drift is stop-gradient'd, so no AD needed)
     pallas_score_forward: bool = False
+    # fused Pallas EGNN forward+backward for the drift's energy gradient
+    # (∇_x U_θ / ∂U/∂t through a custom-VJP kernel pair)
+    pallas_energy_grad: bool = False
     pallas_block_b: int = 8
     pallas_interpret: bool = False  # interpret mode (CPU tests)
     # FK weight-drift clamp quantile (sdes.py:230 clamps at 0.9; 1.0 = off)
@@ -195,6 +198,19 @@ def integrate_sde(
                 )
             )
 
+    energy_backbone_fwd = None
+    if cfg.pallas_energy_grad and energy_wrapper is not None:
+        from pita_tpu.nets.egnn_fast import supports_fast_divergence
+        from pita_tpu.ops.pallas.egnn_fwd import egnn_forward_pallas_ad
+
+        if supports_fast_divergence(getattr(energy_wrapper, "backbone", None)):
+            energy_backbone_fwd = (
+                lambda p, tt, xx, bb: egnn_forward_pallas_ad(
+                    p, energy_wrapper.backbone, tt, xx, bb,
+                    block_b=cfg.pallas_block_b, interpret=cfg.pallas_interpret,
+                )
+            )
+
     def body(carry, inp):
         # params and beta ride in the carry (unchanged) so the compiled
         # segment function is reusable across parameter updates
@@ -226,6 +242,7 @@ def integrate_sde(
                 clip_quantile=cfg.weight_clip_quantile,
                 div_bt_override=div_override,
                 score_backbone_fwd=score_backbone_fwd,
+                energy_backbone_fwd=energy_backbone_fwd,
             )
 
         if cfg.divergence_update_interval <= 1 or resampling_interval == -1:

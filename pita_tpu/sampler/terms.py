@@ -87,6 +87,7 @@ def compute_sde_terms(
     divergence_key=None,
     div_bt_override=None,
     score_backbone_fwd=None,
+    energy_backbone_fwd=None,
 ) -> SDETerms:
     """Assemble drift_X and drift_A at times t (B,) for chains x (B, D)."""
     B = x.shape[0]
@@ -109,7 +110,10 @@ def compute_sde_terms(
 
     def U_of_tx(tt, xx):
         """U_θ as a function of integration time (through h) and position."""
-        return energy_wrapper.energy(params_energy, noise_schedule.h(tt), xx, beta, **pin_kw)
+        return energy_wrapper.energy(
+            params_energy, noise_schedule.h(tt), xx, beta,
+            backbone_fwd=energy_backbone_fwd, **pin_kw,
+        )
 
     # one energy pass: the summed value drives the (x, t) grads and the
     # per-sample U rides out as aux (the reference evaluates the energy net
@@ -184,7 +188,15 @@ def compute_sde_terms(
                 )
         div_bt = div_st * g2 / 2
     else:
-        lap_U = exact_laplacian(U_of_tx, t, x, chunk_size=divergence_chunk_size)
+        # the exact Laplacian is forward-over-reverse; a custom_vjp backbone
+        # override is not forward-differentiable, so this path always uses
+        # the XLA backbone
+        def U_xla(tt, xx):
+            return energy_wrapper.energy(
+                params_energy, noise_schedule.h(tt), xx, beta, **pin_kw
+            )
+
+        lap_U = exact_laplacian(U_xla, t, x, chunk_size=divergence_chunk_size)
         div_bt = -lap_U * g2 / 2
 
     inner = jnp.sum(-nabla_U * bt, axis=-1)

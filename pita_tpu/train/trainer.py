@@ -634,17 +634,25 @@ class EnergyTempTrainer:
         annealing_factor = inverse_lower / inverse_temp
         target_lower = self.targets[index_lower]
 
-        res, res_nores = _retry_on_runtime_error(
-            lambda: self.generate_samples(
+        def _sample_and_energies():
+            # sampling AND the downstream energy/force evaluation retry as
+            # one unit: after a tunneled-worker restart the sampled device
+            # buffers are gone, so retrying only the energy call cannot work
+            res, res_nores = self.generate_samples(
                 target_lower,
                 num_samples,
                 inverse_temp=inverse_temp,
                 annealing_factor=annealing_factor,
                 return_logweights=True,
             )
+            energies, forces = target_lower.log_prob_and_force(res.samples)
+            jax.block_until_ready(energies)
+            return res, res_nores, energies, forces
+
+        res, res_nores, energies, forces = _retry_on_runtime_error(
+            _sample_and_energies
         )
         samples = res.samples
-        energies, forces = target_lower.log_prob_and_force(samples)
 
         metrics = {}
         if anneal_to_lower:
@@ -889,7 +897,9 @@ class EnergyTempTrainer:
             sub = samples[
                 np.random.default_rng(0).integers(0, len(samples), cfg.test_batch_size)
             ]
-            energies = self.targets[j].log_prob(jnp.asarray(sub))
+            energies = _retry_on_runtime_error(
+                lambda: self.targets[j].log_prob(jnp.asarray(sub))
+            )
             self.key, k_t = jax.random.split(self.key)
             try:
                 data = self.targets[j].sample_test_set(k_t, len(sub))

@@ -62,3 +62,64 @@ def test_integrator_pallas_score_matches_default(rng):
                                     pallas_block_b=2, pallas_interpret=True))
     np.testing.assert_allclose(np.asarray(r1.samples), np.asarray(r0.samples),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_ad_grads_match_xla(rng):
+    """egnn_forward_pallas_ad: cotangents wrt x and t must match jax.grad
+    through the XLA forward (fused backward kernel, interpret mode)."""
+    from pita_tpu.ops.pallas.egnn_fwd import egnn_forward_pallas_ad
+
+    mod = EGNNBackbone(n_particles=7, n_spatial_dim=3, hidden_nf=16, n_layers=2)
+    t = jax.random.uniform(rng, (6,)) + 0.1
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (6, 21))
+    beta = jnp.asarray(1.2)
+    params = mod.init(jax.random.fold_in(rng, 2), t, x, beta)
+    v = jax.random.normal(jax.random.fold_in(rng, 3), (6, 21))
+
+    def scalar_ref(t, x):
+        return jnp.sum(egnn_apply(params, mod, t, x, beta) * v)
+
+    def scalar_pal(t, x):
+        return jnp.sum(
+            egnn_forward_pallas_ad(params, mod, t, x, beta, block_b=2,
+                                   interpret=True) * v
+        )
+
+    gt_ref, gx_ref = jax.grad(scalar_ref, argnums=(0, 1))(t, x)
+    gt_pal, gx_pal = jax.grad(scalar_pal, argnums=(0, 1))(t, x)
+    np.testing.assert_allclose(np.asarray(gx_pal), np.asarray(gx_ref),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gt_pal), np.asarray(gt_ref),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_integrator_pallas_energy_grad_matches_default(rng):
+    """The pallas_energy_grad flag must not change sampler results beyond
+    float reassociation (interpret mode on CPU)."""
+    from pita_tpu.nets import EnergyWrapper, ScoreWrapper
+    from pita_tpu.sampler import IntegratorConfig, integrate_sde
+    from pita_tpu.schedules import (
+        ConstantAnnealingSchedule,
+        ElucidatingNoiseSchedule,
+    )
+    from pita_tpu.targets import LJ13
+
+    target = LJ13(temperature=2.0)
+    mod = lambda: EGNNBackbone(n_particles=13, n_spatial_dim=3, hidden_nf=8,
+                               n_layers=2)
+    score, energy = ScoreWrapper(mod()), EnergyWrapper(mod())
+    ps = score.init(rng, target.dim)
+    pe = energy.init(jax.random.fold_in(rng, 1), target.dim)
+    sched = ElucidatingNoiseSchedule(sigma_min=0.05, sigma_max=10.0, rho=7.0)
+    anneal = ConstantAnnealingSchedule(annealing_factor=1.2)
+    x1 = jax.random.normal(jax.random.fold_in(rng, 2), (6, target.dim)) * 3.0
+    base = IntegratorConfig(num_integration_steps=4, end_resampling_step=4,
+                            resampling_interval=2)
+    r0 = integrate_sde(jax.random.fold_in(rng, 3), x1, score, energy, ps, pe,
+                       sched, anneal, target, 1.0, base)
+    r1 = integrate_sde(jax.random.fold_in(rng, 3), x1, score, energy, ps, pe,
+                       sched, anneal, target, 1.0,
+                       base.replace(pallas_energy_grad=True,
+                                    pallas_block_b=2, pallas_interpret=True))
+    np.testing.assert_allclose(np.asarray(r1.samples), np.asarray(r0.samples),
+                               rtol=1e-4, atol=1e-4)
