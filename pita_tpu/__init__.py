@@ -18,3 +18,26 @@ arXiv 2506.16471) as pure ``jit``/``scan``/``vmap`` programs:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache():
+    """Point JAX at an on-disk compilation cache (idempotent, opt-out via
+    JAX_COMPILATION_CACHE_DIR="" ). The sampler programs and the fused Pallas
+    kernels have multi-minute first compiles; the cache makes every later
+    process start warm."""
+    import os
+
+    if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+        return  # user decided (set, or explicitly emptied to disable)
+    try:
+        import jax
+
+        path = os.path.expanduser("~/.cache/pita_tpu/jax")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()

@@ -466,7 +466,10 @@ def supports_fast_divergence(backbone) -> bool:
 
 
 def score_divergence_fast(score_wrapper, params, ht, x, beta,
-                          tangent_chunk: int = None, chain_chunk: int = None):
+                          tangent_chunk: int = None, chain_chunk: int = None,
+                          pallas: bool = False, pallas_block_b: int = 2,
+                          pallas_tangent_chunk: int = 16,
+                          pallas_interpret: bool = False):
     """div_x score(x) for an EGNN-backed ScoreWrapper, exact.
 
     Chain rule through the EDM preconditioning (precondition.py):
@@ -484,10 +487,24 @@ def score_divergence_fast(score_wrapper, params, ht, x, beta,
     c_s, c_in, c_out, c_noise = _coeffs(ht)
     module = score_wrapper.backbone
 
-    def trace_of(cn, xin):
-        return egnn_jacobian_trace(
-            params, module, cn, xin, beta, tangent_chunk=tangent_chunk
-        )[1]
+    if pallas:
+        # fused kernel: every tangent intermediate stays in VMEM, so no
+        # chain chunking is needed (HBM holds only x and the weights)
+        def trace_of(cn, xin):
+            from pita_tpu.ops.pallas.egnn_fwd import egnn_jacobian_trace_pallas
+
+            return egnn_jacobian_trace_pallas(
+                params, module, cn, xin, beta,
+                block_b=pallas_block_b, tangent_chunk=pallas_tangent_chunk,
+                interpret=pallas_interpret,
+            )
+
+        chain_chunk = None
+    else:
+        def trace_of(cn, xin):
+            return egnn_jacobian_trace(
+                params, module, cn, xin, beta, tangent_chunk=tangent_chunk
+            )[1]
 
     x_in = c_in[:, None] * x
     if chain_chunk is None or B <= chain_chunk:

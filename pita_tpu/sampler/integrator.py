@@ -75,6 +75,11 @@ class IntegratorConfig:
     # fused Pallas EGNN forward+backward for the drift's energy gradient
     # (∇_x U_θ / ∂U/∂t through a custom-VJP kernel pair)
     pallas_energy_grad: bool = False
+    # fused Pallas exact Jacobian-trace for the FK divergence (linearize in
+    # VMEM + chunked tangent basis — no (T, N², F) HBM tensors)
+    pallas_divergence: bool = False
+    pallas_divergence_block_b: int = 2
+    pallas_tangent_chunk: int = 16
     pallas_block_b: int = 8
     pallas_interpret: bool = False  # interpret mode (CPU tests)
     # FK weight-drift clamp quantile (sdes.py:230 clamps at 0.9; 1.0 = off)
@@ -243,6 +248,10 @@ def integrate_sde(
                 div_bt_override=div_override,
                 score_backbone_fwd=score_backbone_fwd,
                 energy_backbone_fwd=energy_backbone_fwd,
+                pallas_divergence=cfg.pallas_divergence,
+                pallas_divergence_block_b=cfg.pallas_divergence_block_b,
+                pallas_tangent_chunk=cfg.pallas_tangent_chunk,
+                pallas_interpret=cfg.pallas_interpret,
             )
 
         if cfg.divergence_update_interval <= 1 or resampling_interval == -1:

@@ -88,6 +88,10 @@ def compute_sde_terms(
     div_bt_override=None,
     score_backbone_fwd=None,
     energy_backbone_fwd=None,
+    pallas_divergence: bool = False,
+    pallas_divergence_block_b: int = 2,
+    pallas_tangent_chunk: int = 16,
+    pallas_interpret: bool = False,
 ) -> SDETerms:
     """Assemble drift_X and drift_A at times t (B,) for chains x (B, D)."""
     B = x.shape[0]
@@ -181,6 +185,10 @@ def compute_sde_terms(
                     score_wrapper, params_score, ht, x, beta,
                     tangent_chunk=divergence_tangent_chunk,
                     chain_chunk=divergence_chunk_size,
+                    pallas=pallas_divergence,
+                    pallas_block_b=pallas_divergence_block_b,
+                    pallas_tangent_chunk=pallas_tangent_chunk,
+                    pallas_interpret=pallas_interpret,
                 )
             else:
                 div_st = exact_divergence(

@@ -123,3 +123,38 @@ def test_integrator_pallas_energy_grad_matches_default(rng):
                                     pallas_block_b=2, pallas_interpret=True))
     np.testing.assert_allclose(np.asarray(r1.samples), np.asarray(r0.samples),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_jacobian_trace_matches_edge_operator(rng):
+    """Fused Pallas trace kernel vs the XLA edge-operator exact trace."""
+    from pita_tpu.nets.egnn_fast import egnn_jacobian_trace
+    from pita_tpu.ops.pallas.egnn_fwd import egnn_jacobian_trace_pallas
+
+    mod = EGNNBackbone(n_particles=7, n_spatial_dim=3, hidden_nf=16, n_layers=2)
+    t = jax.random.uniform(rng, (5,)) + 0.1
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (5, 21))
+    beta = jnp.asarray(1.1)
+    params = mod.init(jax.random.fold_in(rng, 2), t, x, beta)
+    _, tr_ref = egnn_jacobian_trace(params, mod, t, x, beta)
+    tr_pal = egnn_jacobian_trace_pallas(params, mod, t, x, beta, block_b=2,
+                                        tangent_chunk=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(tr_pal), np.asarray(tr_ref),
+                               rtol=2e-3, atol=1e-3)
+
+
+def test_score_divergence_fast_pallas_route(rng):
+    """score_divergence_fast(pallas=True) equals the XLA route."""
+    from pita_tpu.nets import ScoreWrapper
+    from pita_tpu.nets.egnn_fast import score_divergence_fast
+
+    mod = EGNNBackbone(n_particles=5, n_spatial_dim=3, hidden_nf=8, n_layers=2)
+    score = ScoreWrapper(mod)
+    ps = score.init(rng, 15)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (4, 15))
+    ht = jnp.full((4,), 0.7)
+    d0 = score_divergence_fast(score, ps, ht, x, jnp.asarray(1.0))
+    d1 = score_divergence_fast(score, ps, ht, x, jnp.asarray(1.0),
+                               pallas=True, pallas_block_b=2,
+                               pallas_tangent_chunk=8, pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                               rtol=2e-3, atol=1e-3)
