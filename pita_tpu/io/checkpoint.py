@@ -57,8 +57,15 @@ def restore_checkpoint(trainer, path: str):
     if not os.path.exists(path):
         print(f"checkpoint {path} not found — starting from scratch")
         return trainer
+    item = _state_pytree(trainer)
+    # restore to HOST numpy: per-array device puts over a tunneled runtime
+    # are fragile (observed: worker crash mid-restore); numpy leaves are
+    # device-put lazily, in one batch, at the first jitted call
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item
+    )
     with ocp.PyTreeCheckpointer() as ckptr:
-        state = ckptr.restore(path, item=_state_pytree(trainer))
+        state = ckptr.restore(path, item=item, restore_args=restore_args)
     trainer.params_score = state["params_score"]
     trainer.params_energy = state["params_energy"]
     trainer.ema_score = EMAState(

@@ -62,14 +62,22 @@ def _retry_on_runtime_error(fn, retries: int = 2):
     utils.py:42-96, energytemp_module.py:765-767)."""
     import jax.errors
 
+    # a restarting tunneled worker can stay unavailable for a minute or two —
+    # back off progressively rather than burning all retries in 20 s
+    backoff = [10.0, 45.0, 90.0, 180.0]
+    retries = max(retries, 3)
     for attempt in range(retries + 1):
         try:
             return fn()
         except jax.errors.JaxRuntimeError as e:
             if attempt == retries:
                 raise
-            print(f"device runtime error ({e}); retrying ({attempt + 1}/{retries})")
-            time.sleep(10.0)
+            wait = backoff[min(attempt, len(backoff) - 1)]
+            print(
+                f"device runtime error ({e}); retrying in {wait:.0f}s "
+                f"({attempt + 1}/{retries})"
+            )
+            time.sleep(wait)
 
 
 @dataclasses.dataclass(frozen=True)
