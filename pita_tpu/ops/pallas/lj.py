@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 
 
 def _lj_kernel(xc_ref, yc_ref, zc_ref, logp_ref, fx_ref, fy_ref, fz_ref, *,
-               eps, rm, osc_scale, temperature, energy_factor):
+               eps, rm, osc_scale, temperature, energy_factor, spline):
     comps = (xc_ref[...], yc_ref[...], zc_ref[...])  # each (Bb, N)
     Bb, N = comps[0].shape
     eye = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) == jax.lax.broadcasted_iota(
@@ -46,7 +46,22 @@ def _lj_kernel(xc_ref, yc_ref, zc_ref, logp_ref, fx_ref, fy_ref, fz_ref, *,
     inv_r2 = 1.0 / r2
     x3 = (rm * rm * inv_r2) ** 3
     x6 = x3 * x3
-    e_pair = jnp.where(eye[None], 0.0, eps * (x6 - 2.0 * x3))
+    e_pair = eps * (x6 - 2.0 * x3)
+    de_dr2 = (6.0 * eps * inv_r2) * (x3 - x6)
+    if spline is not None:
+        # cubic smoothing below range_min (targets/lj.py:_eval_spline —
+        # clamped to the first segment, four scalar coefficients):
+        # e = c0·dx³ + c1·dx² + c2·dx + c3, dx = r − r_min;
+        # de/dr² = (3c0·dx² + 2c1·dx + c2) / (2r)
+        c0, c1, c2, c3, r_min = spline
+        r = jnp.sqrt(r2)
+        dx = r - r_min
+        e_sm = ((c0 * dx + c1) * dx + c2) * dx + c3
+        de_sm = ((3.0 * c0 * dx + 2.0 * c1) * dx + c2) / (2.0 * r)
+        close = r < r_min
+        e_pair = jnp.where(close, e_sm, e_pair)
+        de_dr2 = jnp.where(close, de_sm, de_dr2)
+    e_pair = jnp.where(eye[None], 0.0, e_pair)
     # all reductions stay ≥2D (Mosaic layouts have no 1D vectors)
     energy = jnp.sum(e_pair, axis=2) * energy_factor  # (Bb, N)
 
@@ -55,7 +70,7 @@ def _lj_kernel(xc_ref, yc_ref, zc_ref, logp_ref, fx_ref, fy_ref, fz_ref, *,
         energy = energy + 0.5 * osc_scale * c * c
     logp_ref[...] = -jnp.sum(energy, axis=1, keepdims=True) / temperature
 
-    de_dr2 = jnp.where(eye[None], 0.0, (6.0 * eps * inv_r2) * (x3 - x6) * energy_factor)
+    de_dr2 = jnp.where(eye[None], 0.0, de_dr2 * energy_factor)
     for d, cen, out in zip(diffs, centered, (fx_ref, fy_ref, fz_ref)):
         grad = 4.0 * jnp.sum(de_dr2 * d, axis=2) + osc_scale * cen
         out[...] = -grad / temperature
@@ -71,8 +86,12 @@ def lj_log_prob_and_force(
     temperature: float = 1.0,
     block_b: int = 128,
     interpret: bool = False,
+    spline: tuple = None,
 ):
-    """x: (B, n_particles*3) → (log_prob (B,), force (B, n_particles*3))."""
+    """x: (B, n_particles*3) → (log_prob (B,), force (B, n_particles*3)).
+
+    ``spline``: optional (c0, c1, c2, c3, range_min) floats — the cubic
+    smoothing of the pair energy below range_min (targets/lj.py)."""
     B = x.shape[0]
     N = n_particles
     pad = (-B) % block_b
@@ -83,6 +102,7 @@ def lj_log_prob_and_force(
     kernel = functools.partial(
         _lj_kernel, eps=eps, rm=rm, osc_scale=oscillator_scale,
         temperature=temperature, energy_factor=energy_factor,
+        spline=spline,
     )
     plane = pl.BlockSpec((block_b, N), lambda i: (i, 0))
     logp, fx, fy, fz = pl.pallas_call(

@@ -92,7 +92,7 @@ class LennardJones(Target):
         self.temperature = float(temperature)
         self.name = f"lj{n_particles}"
         self.data_dir = data_dir
-        self.use_pallas = use_pallas and not smooth  # kernel covers raw LJ only
+        self.use_pallas = use_pallas
         if smooth:
             knots, coeffs = _fit_smoothing_spline(eps, rm, range_min, range_max)
             self._knots = jnp.asarray(knots)
@@ -123,11 +123,18 @@ class LennardJones(Target):
         if self.use_pallas and x.ndim == 2:
             from pita_tpu.ops.pallas.lj import lj_log_prob_and_force
 
+            spline = None
+            if self.smooth:
+                c = np.asarray(self._coeffs)
+                spline = (
+                    float(c[0, 0]), float(c[1, 0]), float(c[2, 0]),
+                    float(c[3, 0]), float(np.asarray(self._knots)[0]),
+                )
             return lj_log_prob_and_force(
                 x, self.n_particles, eps=self.eps, rm=self.rm,
                 oscillator_scale=self.oscillator_scale if self.oscillator else 0.0,
                 energy_factor=self.energy_factor, temperature=self.temperature,
-                block_b=64,
+                block_b=64, spline=spline,
             )
         return super().log_prob_and_force(x)
 

@@ -56,3 +56,28 @@ def test_target_use_pallas_flag(rng, monkeypatch):
     lp_ref, f_ref = ref.log_prob_and_force(x)
     np.testing.assert_allclose(lp, lp_ref, rtol=1e-5)
     np.testing.assert_allclose(f, f_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_lj_smooth_parity(rng):
+    """Smoothing-spline branch of the kernel vs the XLA smooth target."""
+    from pita_tpu.ops.pallas.lj import lj_log_prob_and_force
+
+    lj = LJ13(smooth=True, use_pallas=False)
+    # configurations with some close pairs so the spline branch is exercised
+    x = jax.random.normal(rng, (8, 39)) * 0.6
+    lp_ref, f_ref = lj.log_prob_and_force(x)
+    c = np.asarray(lj._coeffs)
+    spline = (float(c[0, 0]), float(c[1, 0]), float(c[2, 0]), float(c[3, 0]),
+              float(np.asarray(lj._knots)[0]))
+    lp_k, f_k = lj_log_prob_and_force(
+        x, 13, oscillator_scale=lj.oscillator_scale,
+        energy_factor=lj.energy_factor, temperature=lj.temperature,
+        block_b=4, interpret=True, spline=spline,
+    )
+    # check the spline branch actually fires for this draw
+    xr = np.asarray(x).reshape(8, 13, 3)
+    d = np.linalg.norm(xr[:, :, None] - xr[:, None, :], axis=-1)
+    assert (d[d > 0] < float(np.asarray(lj._knots)[0])).any()
+    np.testing.assert_allclose(np.asarray(lp_k), np.asarray(lp_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_ref), rtol=1e-3,
+                               atol=1e-2)
