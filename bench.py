@@ -128,14 +128,18 @@ def main():
         cfg = base.replace(
             num_integration_steps=n_steps_t, end_resampling_step=n_steps_t, **kw
         )
+        # exact mode is ~1 min per repetition at 2048 chains — one timed rep
+        # keeps the whole bench inside a driver-friendly window
+        n_rep = 1 if name == "exact" else 3
         cps, _ = run_mode(
-            make_run(cfg), jax.random.fold_in(key, 3), x1, n_chains, n_steps_t
+            make_run(cfg), jax.random.fold_in(key, 3), x1, n_chains, n_steps_t,
+            n_rep=n_rep,
         )
         details[name] = round(cps, 1)
 
     # ---- quality gate: full annealing run per mode ----------------------
-    n_steps_q = 500
-    n_chains_q = 1024
+    n_steps_q = 400
+    n_chains_q = 512
     x1q = (
         jax.random.normal(jax.random.fold_in(key, 4), (n_chains_q, dim)) * scale
     )
