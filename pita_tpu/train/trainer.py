@@ -92,6 +92,11 @@ class TrainerConfig:
     check_val_every_n_epoch: int = 100
     lr: float = 1e-3
     grad_clip: float = 0.5
+    # chain-island cap for annealed generation: one integrate dispatch's HBM
+    # footprint is bounded by this many chains (None = single dispatch).
+    # Large transition fills (e.g. LJ55 5000×1000 steps) OOM a v5e-lite chip
+    # with trainer state resident; islands of ≤2048 fit comfortably.
+    max_chains_per_integrate: Optional[int] = 2048
     ema_decay: float = 0.999
     eval_ema: bool = True
     buffer_capacity: int = 60000
@@ -533,13 +538,36 @@ class EnergyTempTrainer:
         cfg = integrator_cfg or self.integrator_cfg
         anneal = self.make_annealing(annealing_factor)
         prior = self._prior(annealing_factor)
-        self.key, k_prior, k_int = jax.random.split(self.key, 3)
-        x1 = prior.sample(k_prior, num_samples)
         ps, pe = params if params is not None else self._eval_params()
 
-        res = self._integrate(
-            k_int, x1, ps, pe, anneal, target, inverse_temp, cfg, resampling_interval
-        )
+        cap = self.cfg.max_chains_per_integrate
+        if cap is not None and num_samples > cap:
+            # bounded-memory generation: integrate in equal chain islands
+            # (per-island systematic resampling — a valid SMC island
+            # estimator; the HBM cost of one dispatch is bounded by `cap`).
+            # Diagnostic trajectories come from the first island.
+            n_islands = -(-num_samples // cap)
+            parts = []
+            first = None
+            for i in range(n_islands):
+                n_i = min(cap, num_samples - i * cap)
+                self.key, k_prior, k_int = jax.random.split(self.key, 3)
+                x1 = prior.sample(k_prior, cap)  # equal sizes: one compile
+                res_i = self._integrate(
+                    k_int, x1, ps, pe, anneal, target, inverse_temp, cfg,
+                    resampling_interval,
+                )
+                if first is None:
+                    first = res_i
+                parts.append(np.asarray(res_i.samples)[:n_i])
+            res = first._replace(samples=jnp.asarray(np.concatenate(parts)))
+        else:
+            self.key, k_prior, k_int = jax.random.split(self.key, 3)
+            x1 = prior.sample(k_prior, num_samples)
+            res = self._integrate(
+                k_int, x1, ps, pe, anneal, target, inverse_temp, cfg,
+                resampling_interval,
+            )
         if not return_logweights:
             return res
         # second pass without resampling for log-weight diagnostics (:279-296)

@@ -112,3 +112,18 @@ def test_transition_epochs_always_evaluated(tmp_path):
     tr.fit()
     # the transition at epoch 3 must have filled rung 1's buffer
     assert int(tr.buffers.size[1]) > 0
+
+
+def test_chain_island_generation_bounded(tmp_path):
+    """max_chains_per_integrate: generation splits into equal chain islands
+    (bounded single-dispatch memory) and returns the requested sample count."""
+    tr = _make_trainer(tmp_path, max_chains_per_integrate=64)
+    tr.populate_initial_buffer()
+    res = tr.generate_samples(tr.targets[1], 150, inverse_temp=1.0,
+                              annealing_factor=2.0)
+    assert res.samples.shape == (150, 2)
+    import numpy as np
+
+    assert np.isfinite(np.asarray(res.samples)).all()
+    # diagnostics come from the first island (cap-sized)
+    assert res.logweights.shape[-1] == 64
