@@ -92,9 +92,9 @@ def _lj55() -> dict:
         num_epochs_per_temp=(200, 200, 300),
     )
     # chain block for the edge-operator divergence: the per-layer (B, N², F²)
-    # operators are ~0.8 GB at block 128 on LJ55 — block 256 OOMs the chip
-    # when the trainer's state is resident
-    cfg["integrator"] = dict(cfg["integrator"], divergence_chunk_size=128)
+    # operators are ~0.4 GB at block 64 on LJ55 — larger blocks OOM the
+    # (small-HBM) tunneled chip when the trainer's state is resident
+    cfg["integrator"] = dict(cfg["integrator"], divergence_chunk_size=64)
     return cfg
 
 

@@ -95,8 +95,9 @@ class TrainerConfig:
     # chain-island cap for annealed generation: one integrate dispatch's HBM
     # footprint is bounded by this many chains (None = single dispatch).
     # Large transition fills (e.g. LJ55 5000×1000 steps) OOM a v5e-lite chip
-    # with trainer state resident; islands of ≤2048 fit comfortably.
-    max_chains_per_integrate: Optional[int] = 2048
+    # with trainer state resident; 1024 also matches the default eval batch
+    # so one compiled integrate executable serves evals and islands alike.
+    max_chains_per_integrate: Optional[int] = 1024
     ema_decay: float = 0.999
     eval_ema: bool = True
     buffer_capacity: int = 60000
