@@ -665,6 +665,16 @@ class EnergyTempTrainer:
             index_lower += 1
             if cfg.skip_temp:
                 index_lower = min(index_lower + cfg.num_skip_temps, self.n_temps - 1)
+            # rung transitions compile a NEW annealed-integrate executable; on
+            # small-HBM chips the accumulated executables from the training
+            # rung leave no room for it (observed: RESOURCE_EXHAUSTED at the
+            # prior). Transitions are rare — drop every cached executable and
+            # let the persistent compilation cache reload what is still needed.
+            self._integrate_fn_cache.clear()
+            from pita_tpu.sampler.integrator import _SEGMENT_CACHE
+
+            _SEGMENT_CACHE.clear()
+            jax.clear_caches()
 
         inverse_temp = float(self.inverse_temperatures[index])
         inverse_lower = float(self.inverse_temperatures[index_lower])
