@@ -46,6 +46,10 @@ def buffer_add(buf: ReplayBuffer, x, energy, force=None, mask=None) -> ReplayBuf
     """
     n, dim = x.shape
     cap = buf.x.shape[0]
+    # a restored checkpoint may carry host-numpy leaves (io/checkpoint.py
+    # restores to host); .at indexing needs jax arrays
+    if not isinstance(buf.x, jnp.ndarray):
+        buf = jax.tree.map(jnp.asarray, buf)
     if force is None:
         force = jnp.zeros_like(x)
     if mask is not None:
