@@ -487,7 +487,11 @@ def egnn_forward_pallas_ad(params, module, t, x_flat, beta,
     xs = x
     ea = _edge_attr_xla(x)
     for lw in lws:
-        h, x = core(h, x, ea, list(lw))
+        # weights explicitly non-differentiable: the layer core's custom VJP
+        # covers (h, x, ea) only; stop_gradient makes the zero weight
+        # cotangent the *declared* semantics rather than a silent wrong
+        # answer if a params-differentiated caller ever reaches this path
+        h, x = core(h, x, ea, [jax.lax.stop_gradient(w) for w in lw])
     vel = x - xs
     vel = vel - jnp.sum(vel * node_mask, axis=-1, keepdims=True) / N
     out = jnp.swapaxes(vel[:, :, :N], 1, 2).reshape(Bp, N * D)

@@ -84,6 +84,15 @@ class IntegratorConfig:
     pallas_interpret: bool = False  # interpret mode (CPU tests)
     # FK weight-drift clamp quantile (sdes.py:230 clamps at 0.9; 1.0 = off)
     weight_clip_quantile: float = 0.9
+    # adaptive (ESS-triggered) resampling: at steps the interval schedule
+    # allows, resample only when the normalized ESS of the accumulated FK
+    # weights drops below this threshold (standard adaptive SMC; None =
+    # always resample on schedule, reference parity). Weights accumulate
+    # between triggers instead of resetting every step — this both saves
+    # resampling work and removes the per-step selection pressure that makes
+    # NOISY weight estimates (hutchinson/hutchpp divergence) bias the
+    # population (PERF.md: ~15% tempered-width shrinkage at interval=1).
+    ess_resampling_threshold: Optional[float] = None
     # recompute the (expensive) divergence term every K steps and reuse it in
     # between — a coarser quadrature of the smooth div(b_t) term in the weight
     # integral, NOT an estimator approximation. 1 = every step (parity).
@@ -190,8 +199,29 @@ def integrate_sde(
             return remove_mean(x, n_part, n_sdim)
         return x
 
+    def _experimental_pallas_allowed():
+        # the fused EGNN kernels are a documented post-mortem (PERF.md), not
+        # the production path; a kernel fault kills the shared TPU worker and
+        # anything else running on the chip. Compiled (non-interpret) use
+        # therefore requires an explicit opt-in env var — never flip these
+        # flags in bench/production presets.
+        if cfg.pallas_interpret:
+            return True
+        import os
+
+        if os.environ.get("PITA_TPU_ENABLE_EXPERIMENTAL_PALLAS") == "1":
+            return True
+        raise RuntimeError(
+            "pallas_score_forward/pallas_energy_grad/pallas_divergence are "
+            "experimental (rejected from production, see PERF.md); compiled "
+            "use can fault a shared TPU worker. Set "
+            "PITA_TPU_ENABLE_EXPERIMENTAL_PALLAS=1 to opt in, or "
+            "pallas_interpret=True for CPU-interpret testing."
+        )
+
     score_backbone_fwd = None
     if cfg.pallas_score_forward and score_wrapper is not None:
+        _experimental_pallas_allowed()
         from pita_tpu.nets.egnn_fast import supports_fast_divergence
         from pita_tpu.ops.pallas.egnn_fwd import egnn_forward_pallas
 
@@ -205,6 +235,9 @@ def integrate_sde(
 
     energy_backbone_fwd = None
     if cfg.pallas_energy_grad and energy_wrapper is not None:
+        _experimental_pallas_allowed()
+    if cfg.pallas_divergence:
+        _experimental_pallas_allowed()
         from pita_tpu.nets.egnn_fast import supports_fast_divergence
         from pita_tpu.ops.pallas.egnn_fwd import egnn_forward_pallas_ad
 
@@ -269,6 +302,13 @@ def integrate_sde(
         x_next = jnp.where(frz_f, x, x_next)
         x_next = maybe_mean_free(x_next)
         a_next = jnp.where(acc_f, a + terms.drift_A * dt, jnp.zeros_like(a))
+
+        if cfg.ess_resampling_threshold is not None:
+            # adaptive SMC: trigger only when the weights have degenerated
+            from pita_tpu.metrics.ess import effective_sample_size
+
+            ess = effective_sample_size(a_next, normalize=True)
+            res_f = res_f & (ess < cfg.ess_resampling_threshold)
 
         # branch-free systematic resampling (sde_integration.py:292-296)
         choice = systematic_resample(k_res, a_next)

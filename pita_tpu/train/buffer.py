@@ -158,7 +158,9 @@ def buffer_set(bufs: ReplayBuffer, i: int, buf: ReplayBuffer) -> ReplayBuffer:
     """Write rung ``i`` (static) back into a stacked buffer."""
     import jax
 
-    return jax.tree.map(lambda a, b: a.at[i].set(b), bufs, buf)
+    # a restored checkpoint may carry host-numpy leaves (io/checkpoint.py
+    # restores to host); .at indexing needs jax arrays
+    return jax.tree.map(lambda a, b: jnp.asarray(a).at[i].set(b), bufs, buf)
 
 
 class PrioritisedBuffer(NamedTuple):

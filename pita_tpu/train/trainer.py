@@ -53,7 +53,7 @@ from pita_tpu.metrics.distances import energy_distances, interatomic_dist_w2
 from pita_tpu.metrics.ess import effective_sample_size
 
 
-def _retry_on_runtime_error(fn, retries: int = 2):
+def _retry_on_runtime_error(fn, retries: int = 3):
     """Retry a device computation after a transient runtime failure.
 
     Tunneled TPU runtimes occasionally lose the worker under sustained load;
@@ -65,7 +65,6 @@ def _retry_on_runtime_error(fn, retries: int = 2):
     # a restarting tunneled worker can stay unavailable for a minute or two —
     # back off progressively rather than burning all retries in 20 s
     backoff = [10.0, 45.0, 90.0, 180.0]
-    retries = max(retries, 3)
     for attempt in range(retries + 1):
         try:
             return fn()
@@ -548,7 +547,7 @@ class EnergyTempTrainer:
             # estimator; the HBM cost of one dispatch is bounded by `cap`).
             # Diagnostic trajectories come from the first island.
             n_islands = -(-num_samples // cap)
-            parts = []
+            parts, lw_parts, acc_parts, nuniq_parts = [], [], [], []
             first = None
             for i in range(n_islands):
                 n_i = min(cap, num_samples - i * cap)
@@ -561,7 +560,19 @@ class EnergyTempTrainer:
                 if first is None:
                     first = res_i
                 parts.append(np.asarray(res_i.samples)[:n_i])
-            res = first._replace(samples=jnp.asarray(np.concatenate(parts)))
+                lw_parts.append(np.asarray(res_i.logweights)[:, :n_i])
+                acc_parts.append(np.asarray(res_i.acceptance_rates))
+                nuniq_parts.append(np.asarray(res_i.num_unique))
+            # diagnostics aggregated across islands so a consumer never pairs
+            # full-size samples with first-island-only weights (per-island
+            # systematic resampling remains the estimator; recorded below)
+            res = first._replace(
+                samples=jnp.asarray(np.concatenate(parts)),
+                logweights=jnp.asarray(np.concatenate(lw_parts, axis=1)),
+                acceptance_rates=jnp.asarray(np.mean(acc_parts, axis=0)),
+                num_unique=jnp.asarray(np.sum(nuniq_parts, axis=0)),
+            )
+            self._last_n_islands = n_islands
         else:
             self.key, k_prior, k_int = jax.random.split(self.key, 3)
             x1 = prior.sample(k_prior, num_samples)
@@ -569,6 +580,7 @@ class EnergyTempTrainer:
                 k_int, x1, ps, pe, anneal, target, inverse_temp, cfg,
                 resampling_interval,
             )
+            self._last_n_islands = 1
         if not return_logweights:
             return res
         # second pass without resampling for log-weight diagnostics (:279-296)
@@ -771,6 +783,14 @@ class EnergyTempTrainer:
         final_lw = res_nores.logweights[lw_step]
         metrics[f"{prefix}/ess"] = float(effective_sample_size(final_lw, normalize=True))
         metrics[f"{prefix}/logweight_std"] = float(jnp.std(final_lw))
+        # resampling semantics that produced this artifact (VERDICT r2 weak
+        # #9): 1 = global systematic resample (reference parity,
+        # sde_integration.py:292-296); >1 = per-island resample (chain-island
+        # generation under max_chains_per_integrate — a valid SMC island
+        # estimator with different variance)
+        metrics[f"{prefix}/n_resampling_islands"] = float(
+            getattr(self, "_last_n_islands", 1)
+        )
         if res.acceptance_rates.shape[0] > 0:
             metrics[f"{prefix}/acceptance_rate_mean"] = float(
                 jnp.mean(res.acceptance_rates)
@@ -909,9 +929,19 @@ class EnergyTempTrainer:
 
     # ----------------------------------------------------------------- test
 
-    def test(self, temps_to_anneal=None) -> dict:
-        """Final sampling across ladder pairs (:1002-1081)."""
+    def test(self, temps_to_anneal=None, ckpt_path: Optional[str] = None) -> dict:
+        """Final sampling across ladder pairs (:1002-1081).
+
+        ``ckpt_path`` reloads the checkpoint before test-phase sampling —
+        the reference tests from ``ckpt_path="best"`` (train.py:110-119), so
+        a resumed or multi-phase run tests the *saved* params, not whatever
+        happens to be in memory.
+        """
         cfg = self.cfg
+        if ckpt_path:
+            from pita_tpu.io.checkpoint import restore_checkpoint
+
+            restore_checkpoint(self, ckpt_path)
         if temps_to_anneal is None:
             temps_to_anneal = cfg.temps_to_anneal_test
         if temps_to_anneal is None:
@@ -945,7 +975,9 @@ class EnergyTempTrainer:
                 np.random.default_rng(0).integers(0, len(samples), cfg.test_batch_size)
             ]
             energies = _retry_on_runtime_error(
-                lambda: self.targets[j].log_prob(jnp.asarray(sub))
+                lambda: jax.block_until_ready(
+                    self.targets[j].log_prob(jnp.asarray(sub))
+                )
             )
             self.key, k_t = jax.random.split(self.key)
             try:

@@ -81,7 +81,9 @@ def main(argv=None):
     try:
         trainer.fit(ckpt_path=ckpt_path, resume=ckpt_path is not None)
         if run_test:
-            metrics = trainer.test()
+            # test from the saved checkpoint (train.py:110-119 tests from
+            # ckpt_path="best"), not from whatever params are in memory
+            metrics = trainer.test(ckpt_path=ckpt_path)
             vals = [v for k, v in metrics.items() if "energy_w2" in k]
             metric = vals[0] if vals else None
     except Exception:

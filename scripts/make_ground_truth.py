@@ -1,0 +1,84 @@
+"""Regenerate LJ ground-truth datasets with the reference's x10-run protocol.
+
+The reference generates its LJ13/LJ55 ground truth with 10 independent MCMC
+runs per dataset (sampling/sample_lj13.py:24-133, sampling/README.md:3-10)
+but never checks cross-run agreement; here each asset is pooled from 10
+independently seeded adaptive-MALA ensembles ONLY after the split-R-hat of
+the per-run energy traces passes tolerance
+(pita_tpu/baselines/mcmc.py:generate_lj_dataset_reference_protocol), and the
+per-asset diagnostics are committed next to the .npy
+(``<asset>.rhat.json``) so every quality table is traceable to a gated
+ground truth.
+
+Usage (on the TPU chip; CPU works but is slow):
+    python scripts/make_ground_truth.py [lj13] [lj55]
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
+
+# (n_particles, temperature, which, num_samples) — every set the LJ13/LJ55
+# ladder configs touch (val at each rung for transition evals, test at each
+# annealed-to rung for the test phase, train at the top rung for init)
+SPECS = {
+    "lj13": [
+        (13, 4.0, "train", 10000),
+        *[(13, T, "val", 2048) for T in (4.0, 3.0, 2.0, 1.5, 1.2, 1.0)],
+        *[(13, T, "test", 2048) for T in (3.0, 2.0, 1.5, 1.2, 1.0)],
+    ],
+    "lj55": [
+        (55, 2.0, "train", 10000),
+        *[(55, T, "val", 2048) for T in (2.0, 1.5, 1.2, 1.0)],
+        *[(55, T, "test", 2048) for T in (2.0, 1.5, 1.2, 1.0)],
+    ],
+}
+
+
+def main(groups):
+    from pita_tpu.baselines.mcmc import generate_lj_dataset_reference_protocol
+    from pita_tpu.targets import LennardJones
+
+    for group in groups:
+        for n_part, T, which, n in SPECS[group]:
+            fname = f"LJ{n_part}_temp_{T:.1f}_{which}.npy"
+            path = os.path.join(DATA_DIR, fname)
+            diag_path = path.replace(".npy", ".rhat.json")
+            if os.path.exists(diag_path):
+                print(f"skip {fname} (diag exists)")
+                continue
+            target = LennardJones(
+                n_particles=n_part, smooth=True, temperature=T
+            )
+            # per-`which` seed offsets keep train/val/test independent
+            seed = {"train": 0, "val": 50, "test": 90}[which] + int(T * 7)
+            warmup = 6000 if n_part == 13 else 10000
+            for attempt in range(2):
+                data, diag = generate_lj_dataset_reference_protocol(
+                    target, num_samples=n, n_runs=10, seed=seed,
+                    warmup=warmup * (attempt + 1),
+                )
+                if diag["converged"]:
+                    break
+                print(f"{fname}: R-hat {diag['rhat_energy']:.3f} — doubling warmup")
+            diag["n_runs"] = 10
+            diag["warmup"] = warmup * (attempt + 1)
+            diag["num_samples"] = n
+            np.save(path, data.astype(np.float32))
+            with open(diag_path, "w") as f:
+                json.dump(diag, f, indent=1)
+            print(
+                f"{fname}: R-hat {diag['rhat_energy']:.4f} "
+                f"converged={diag['converged']} "
+                f"E_mean={np.mean(diag['per_run_energy_mean']):.2f}"
+            )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["lj13", "lj55"])

