@@ -4,3 +4,4 @@ from pita_tpu.parallel.sharded import (
     make_dp_train_step,
     shard_batch,
 )
+from pita_tpu.parallel.sharded_buffer import ShardedBufferOps

@@ -310,14 +310,27 @@ def integrate_sde(
             ess = effective_sample_size(a_next, normalize=True)
             res_f = res_f & (ess < cfg.ess_resampling_threshold)
 
-        # branch-free systematic resampling (sde_integration.py:292-296)
-        choice = systematic_resample(k_res, a_next)
-        x_res = jnp.take(x_next, choice, axis=0)
-        x_next = jnp.where(res_f, x_res, x_next)
-        n_unique = jnp.where(res_f, count_unique(choice, B), B)
-        a_next = jnp.where(res_f, jnp.zeros_like(a_next), a_next)
-        # the carried divergence follows its chain through resampling
-        div_new = jnp.where(res_f, jnp.take(div_new, choice, axis=0), div_new)
+        # systematic resampling (sde_integration.py:292-296) under lax.cond:
+        # non-resample steps skip the weight sort AND — on a mesh — the
+        # full-state ancestor all-gather (measured: the gather is ~90% of the
+        # per-step collective volume, scripts/measure_collectives.py), so
+        # interval/ESS-triggered schedules only pay it when they fire
+        def _do_resample(xv, av, dv):
+            choice = systematic_resample(k_res, av)
+            return (
+                jnp.take(xv, choice, axis=0),
+                count_unique(choice, B),
+                jnp.zeros_like(av),
+                # the carried divergence follows its chain through resampling
+                jnp.take(dv, choice, axis=0),
+            )
+
+        def _skip_resample(xv, av, dv):
+            return xv, jnp.asarray(B, jnp.int32), av, dv
+
+        x_next, n_unique, a_next, div_new = jax.lax.cond(
+            res_f, _do_resample, _skip_resample, x_next, a_next, div_new
+        )
 
         stats = {
             "divergence": _std(terms.divergence),

@@ -20,7 +20,7 @@ SCHED = ElucidatingNoiseSchedule(sigma_min=0.01, sigma_max=80.0, rho=7.0)
 
 def _run_annealed(
     rng, divergence_mode, n_chains=2048, probes=1, post_mcmc=0,
-    ess_threshold=None,
+    ess_threshold=None, div_interval=1,
 ):
     base = GMM40()
     target = gmm_power(base, 2)  # exact p²
@@ -37,6 +37,7 @@ def _run_annealed(
         adaptive_mcmc=True,
         dt_negative_time=1e-2,
         ess_resampling_threshold=ess_threshold,
+        divergence_update_interval=div_interval,
     )
     scale = float(np.sqrt(SCHED.h(jnp.asarray(1.0)) / 2.0))
     k_prior, k_int = jax.random.split(rng)
@@ -115,3 +116,21 @@ def test_hutchinson_ess_triggered_matches_exact_quality(rng):
     assert 0.5 * np.abs(occ_gen - occ_ref).sum() < 0.3
     w2_h = wasserstein2_exact(np.asarray(res_h.samples)[:1024], np.asarray(ref)[:1024])
     assert w2_h < 12.0, f"hutchinson+ESS W2: {w2_h}"
+
+
+@pytest.mark.slow
+def test_hutchinson_ess_k10_matches_exact_quality(rng):
+    """The bench's fastest mode (``hutch_ess_k10``): Hutchinson divergence on
+    a 10-step quadrature grid + ESS-triggered resampling — per-step cost
+    approaches the drift-only bound while matching the tempered target."""
+    base = GMM40()
+    res_h, target = _run_annealed(
+        rng, "hutchinson", probes=2, ess_threshold=0.5, div_interval=10
+    )
+    ref = target.sample(jax.random.fold_in(rng, 9), res_h.samples.shape[0])
+    var_gen, occ_gen = _tempered_stats(res_h.samples, target, base)
+    var_ref, occ_ref = _tempered_stats(ref, target, base)
+    np.testing.assert_allclose(var_gen, var_ref, rtol=0.1)
+    assert 0.5 * np.abs(occ_gen - occ_ref).sum() < 0.3
+    w2_h = wasserstein2_exact(np.asarray(res_h.samples)[:1024], np.asarray(ref)[:1024])
+    assert w2_h < 12.0, f"hutch+ESS+K10 W2: {w2_h}"

@@ -106,3 +106,44 @@ def test_shard_batch_places_on_mesh(rng):
     x = jnp.zeros((64, 4))
     xs = shard_batch(mesh, x)
     assert len(xs.sharding.device_set) == 8
+
+
+def test_sharded_buffer_matches_single_device(rng):
+    """Buffer rows sharded over 8 devices: identical add/sample semantics to
+    the single-device ring buffer (replicated PRNG key), state actually
+    split (capacity/8 rows per device shard)."""
+    from pita_tpu.parallel import ShardedBufferOps
+    from pita_tpu.train.buffer import buffer_add, buffer_init, buffer_sample
+
+    mesh = make_mesh(8)
+    ops = ShardedBufferOps(mesh)
+    cap, dim = 512, 6
+
+    ref = buffer_init(cap, dim)
+    shb = ops.place(buffer_init(cap, dim))
+    for r in range(3):
+        k = jax.random.fold_in(rng, r)
+        x = jax.random.normal(k, (100, dim))
+        e = jax.random.normal(jax.random.fold_in(k, 1), (100,))
+        f = jax.random.normal(jax.random.fold_in(k, 2), (100, dim))
+        mask = e < 0.5
+        ref = buffer_add(ref, x, e, f, mask=mask)
+        shb = ops.add(shb, x, e, f, mask=mask)
+
+    # state is actually sharded: each device holds capacity/8 rows
+    shard_rows = {s.data.shape[0] for s in shb.x.addressable_shards}
+    assert shard_rows == {cap // 8}
+    np.testing.assert_array_equal(np.asarray(ref.pos), np.asarray(shb.pos))
+    np.testing.assert_array_equal(np.asarray(ref.size), np.asarray(shb.size))
+    np.testing.assert_allclose(np.asarray(ref.x), np.asarray(shb.x), rtol=1e-6)
+
+    k_s = jax.random.fold_in(rng, 99)
+    for prioritize, replacement in [(False, True), (False, False), (True, False)]:
+        xs_r, es_r, fs_r, idx_r = buffer_sample(
+            ref, k_s, 64, prioritize=prioritize, replacement=replacement
+        )
+        xs_s, es_s, fs_s, idx_s = ops.sample(
+            shb, k_s, 64, prioritize=prioritize, replacement=replacement
+        )
+        np.testing.assert_array_equal(np.asarray(idx_r), np.asarray(idx_s))
+        np.testing.assert_allclose(np.asarray(xs_r), np.asarray(xs_s), rtol=1e-6)
