@@ -252,10 +252,20 @@ def worker(cfg):
         )
         e_mode = {}
         for name, kw in modes.items():
+            # quality runs use the FULL pipeline — including the reference's
+            # own MALA refinement stage (sde_integration.py:362-470), applied
+            # IDENTICALLY to every mode so the divergence estimator is the
+            # only difference. MALA is what restores within-mode width under
+            # noisy Hutchinson weights (tests/test_annealing_oracle.py); its
+            # cost amortizes to ~0 over a production-length run (30 MALA
+            # steps vs 1000 integration steps).
             c = base.replace(
                 num_integration_steps=n_steps_q,
                 end_resampling_step=int(n_steps_q * 0.9),
                 resample_at_end=True,
+                post_mcmc_steps=30,
+                adaptive_mcmc=True,
+                dt_negative_time=5e-5,
                 **kw,
             )
             t0 = time.perf_counter()

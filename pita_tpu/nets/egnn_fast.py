@@ -232,7 +232,8 @@ def egnn_apply(params, module, t, x_flat, beta, with_acts: bool = False):
 
 
 def _layer_tangent_ops(lp: _LayerParams, acts: _LayerActs, diff0, mask,
-                       coords_range, attention, tanh, cd):
+                       coords_range, attention, tanh, cd,
+                       materialize_g: bool = True):
     """Tangent-independent per-edge operators of one layer.
 
     Phase-2 factorization: beyond the edge operators
@@ -253,27 +254,57 @@ def _layer_tangent_ops(lp: _LayerParams, acts: _LayerActs, diff0, mask,
     d_norm = c/(2·norm) (the w·d_norm piece is folded into the c-operators
     via q_c = r·w_r/denom − w/(2·norm·denom)).
     """
-    # base K = D(sp1) W2 D(sp2): K[f,g] = sp1[f] · W2[f,g] · sp2[g]
-    K = (
-        acts.sp1[..., :, None]
-        * lp.w_e2.astype(cd)[None, None, None]
-        * acts.sp2[..., None, :]
-    )  # (B,N,N,F,F)
-    if attention:
-        # d_m = att·d_m_pre + m_pre (x) (s_att · w_att^T d_m_pre)
-        s_att = (acts.att * (1 - acts.att))[..., None]
-        q = K @ lp.w_att.astype(cd)  # (B,N,N,F,1)
-        # rank-1 term [f_in, f_out] = (s_att·q)[f_in] · m_pre[f_out]
-        G = acts.att[..., None, None] * K + (
-            (q * s_att[..., None]) @ acts.m_pre[..., None, :]
-        )
-    else:
-        G = K
-    G = G * mask[None, :, :, None, None].astype(cd)
+    w2 = lp.w_e2.astype(cd)
+    maskc = mask.astype(cd)
+    if materialize_g:
+        # base K = D(sp1) W2 D(sp2): K[f,g] = sp1[f] · W2[f,g] · sp2[g]
+        K = (
+            acts.sp1[..., :, None]
+            * w2[None, None, None]
+            * acts.sp2[..., None, :]
+        )  # (B,N,N,F,F)
+        if attention:
+            # d_m = att·d_m_pre + m_pre (x) (s_att · w_att^T d_m_pre)
+            s_att = (acts.att * (1 - acts.att))[..., None]
+            q = K @ lp.w_att.astype(cd)  # (B,N,N,F,1)
+            # rank-1 term [f_in, f_out] = (s_att·q)[f_in] · m_pre[f_out]
+            G = acts.att[..., None, None] * K + (
+                (q * s_att[..., None]) @ acts.m_pre[..., None, :]
+            )
+        else:
+            G = K
+        G = G * mask[None, :, :, None, None].astype(cd)
 
-    # r = G·chat where chat = W_c1 (sp_cz ⊙ w_c2), tanh'·mask folded
-    chat = (acts.sp_cz * lp.w_c2.astype(cd)[:, 0]) @ lp.w_c1.astype(cd).T
-    r = jnp.einsum("bnmfg,bnmg->bnmf", G, chat)
+        # r = G·chat where chat = W_c1 (sp_cz ⊙ w_c2), tanh'·mask folded
+        chat = (acts.sp_cz * lp.w_c2.astype(cd)[:, 0]) @ lp.w_c1.astype(cd).T
+        r = jnp.einsum("bnmfg,bnmg->bnmf", G, chat)
+    else:
+        # G never materialized (the Pallas G-operator kernel contracts the
+        # tangents, ops/pallas/g_op.py): every G-contraction with a FIXED
+        # vector factors through the rank structure
+        #   G[f,g] = att·mask·sp1[f]·W2[f,g]·sp2[g] + mask·satq[f]·m_pre[g]
+        if attention:
+            s_att = acts.att * (1 - acts.att)  # (B,N,N)
+            # q[f] = sp1[f] · (W2 @ (sp2 ⊙ w_att))[f]
+            q = acts.sp1 * ((acts.sp2 * lp.w_att.astype(cd)[:, 0]) @ w2.T)
+            att_eff = acts.att
+            satq = s_att[..., None] * q
+        else:
+            att_eff = jnp.ones_like(acts.norm).astype(cd)
+            satq = jnp.zeros_like(acts.sp1)
+        att_mask = att_eff * maskc
+        satq_m = satq * maskc[None, :, :, None]
+        G = dict(
+            sp1=acts.sp1, sp2=acts.sp2, att_mask=att_mask, satq=satq_m,
+            m_pre=acts.m_pre, w2=w2,
+        )
+        chat = (acts.sp_cz * lp.w_c2.astype(cd)[:, 0]) @ lp.w_c1.astype(cd).T
+        # r[f] = Σ_g G[f,g]·chat[g]
+        r = (
+            att_mask[..., None] * acts.sp1
+            * ((acts.sp2 * chat) @ w2.T)
+            + satq_m * jnp.sum(acts.m_pre * chat, axis=-1, keepdims=True)
+        )
     if tanh:
         dtanh = (1.0 - jnp.tanh(acts.cm) ** 2) * coords_range
     else:
@@ -288,9 +319,25 @@ def _layer_tangent_ops(lp: _LayerParams, acts: _LayerActs, diff0, mask,
     d0 = diff0.astype(cd)
 
     # d_agg operators
-    P = jnp.sum(G, axis=2)  # (B,N,F,F)
-    u = jnp.einsum("bnmfg,f->bnmg", G, lp.w_scal[0].astype(cd))
-    v = jnp.einsum("bnmfg,f->bnmg", G, lp.w_scal[1].astype(cd))
+    if materialize_g:
+        P = jnp.sum(G, axis=2)  # (B,N,F,F)
+        u = jnp.einsum("bnmfg,f->bnmg", G, lp.w_scal[0].astype(cd))
+        v = jnp.einsum("bnmfg,f->bnmg", G, lp.w_scal[1].astype(cd))
+    else:
+        asp1 = att_mask[..., None] * acts.sp1
+
+        def g_dot_left(w):  # Σ_f G[f,g]·w[f] per edge
+            return (
+                att_mask[..., None] * acts.sp2 * ((acts.sp1 * w) @ w2)
+                + (satq_m @ w)[..., None] * acts.m_pre
+            )
+
+        u = g_dot_left(lp.w_scal[0].astype(cd))
+        v = g_dot_left(lp.w_scal[1].astype(cd))
+        P = (
+            w2[None, None] * jnp.einsum("bnmf,bnmg->bnfg", asp1, acts.sp2)
+            + jnp.einsum("bnmf,bnmg->bnfg", satq_m, acts.m_pre)
+        )
     UD = jnp.einsum("bnmg,bnmd->bngd", u, diff)
     UD2 = u[..., None] * diff[..., None, :]  # (B,N,N,F,3)
     VD = jnp.einsum("bnmg,bnmd->bngd", v, d0)
@@ -324,7 +371,9 @@ def _layer_tangent_ops(lp: _LayerParams, acts: _LayerActs, diff0, mask,
     )
 
 
-def egnn_jacobian_trace(params, module, t, x_flat, beta, tangent_chunk: int = None):
+def egnn_jacobian_trace(params, module, t, x_flat, beta, tangent_chunk: int = None,
+                        g_kernel: bool = False, g_kernel_interpret: bool = False,
+                        g_rows_per_block: int = 4):
     """(F(x), tr dF/dx) for the EGNN backbone — exact, edge-operator method.
 
     Propagates the full D-dimensional tangent basis with per-edge linear
@@ -345,7 +394,8 @@ def egnn_jacobian_trace(params, module, t, x_flat, beta, tangent_chunk: int = No
 
     ops = [
         _layer_tangent_ops(lp, acts, diff0, mask, coords_range,
-                           module.attention, module.tanh, cd)
+                           module.attention, module.tanh, cd,
+                           materialize_g=not g_kernel)
         for lp, acts in zip(layers, all_acts)
     ]
 
@@ -386,7 +436,21 @@ def egnn_jacobian_trace(params, module, t, x_flat, beta, tangent_chunk: int = No
             # --- d_agg = P·A + G·B + c-terms + e-terms
             t1 = jnp.einsum("bnfg,tbnf->tbng", op["P"], A)
             # the dominant contraction: (N·F, N·F) @ (N·F, T) per chain
-            t2 = jnp.einsum("bnmfg,tbmf->tbng", op["G"], Bv)
+            if first:
+                # dh is zero at the first layer: A = Bv = 0, so t2 ≡ 0
+                t2 = jnp.zeros_like(t1)
+            elif isinstance(op["G"], dict):
+                from pita_tpu.ops.pallas.g_op import g_operator_contract
+
+                gp = op["G"]
+                t2 = g_operator_contract(
+                    gp["sp1"], gp["sp2"], gp["att_mask"], gp["satq"],
+                    gp["m_pre"], gp["w2"], Bv,
+                    rows_per_block=g_rows_per_block,
+                    interpret=g_kernel_interpret,
+                ).astype(t1.dtype)
+            else:
+                t2 = jnp.einsum("bnmfg,tbmf->tbng", op["G"], Bv)
             if first:
                 t3 = 2 * (gather_node(op["UD"]) - gather_edge(op["UD2"]))
             else:
@@ -469,7 +533,9 @@ def score_divergence_fast(score_wrapper, params, ht, x, beta,
                           tangent_chunk: int = None, chain_chunk: int = None,
                           pallas: bool = False, pallas_block_b: int = 2,
                           pallas_tangent_chunk: int = 16,
-                          pallas_interpret: bool = False):
+                          pallas_interpret: bool = False,
+                          g_kernel: bool = False,
+                          g_rows_per_block: int = 4):
     """div_x score(x) for an EGNN-backed ScoreWrapper, exact.
 
     Chain rule through the EDM preconditioning (precondition.py):
@@ -503,7 +569,9 @@ def score_divergence_fast(score_wrapper, params, ht, x, beta,
     else:
         def trace_of(cn, xin):
             return egnn_jacobian_trace(
-                params, module, cn, xin, beta, tangent_chunk=tangent_chunk
+                params, module, cn, xin, beta, tangent_chunk=tangent_chunk,
+                g_kernel=g_kernel, g_kernel_interpret=pallas_interpret,
+                g_rows_per_block=g_rows_per_block,
             )[1]
 
     x_in = c_in[:, None] * x

@@ -79,6 +79,13 @@ class IntegratorConfig:
     # VMEM + chunked tangent basis — no (T, N², F) HBM tensors)
     pallas_divergence: bool = False
     pallas_divergence_block_b: int = 2
+    # G-operator Pallas kernel for the exact edge-operator divergence: builds
+    # the per-edge F×F operators in VMEM and contracts multi-row MXU blocks
+    # against the tangent panel — the (B, N², F²) operator never reaches HBM
+    # (ops/pallas/g_op.py; the round-3 design from PERF.md). Experimental:
+    # compiled use needs PITA_TPU_ENABLE_EXPERIMENTAL_PALLAS=1.
+    divergence_g_kernel: bool = False
+    g_rows_per_block: int = 4
     pallas_tangent_chunk: int = 16
     pallas_block_b: int = 8
     pallas_interpret: bool = False  # interpret mode (CPU tests)
@@ -236,7 +243,7 @@ def integrate_sde(
     energy_backbone_fwd = None
     if cfg.pallas_energy_grad and energy_wrapper is not None:
         _experimental_pallas_allowed()
-    if cfg.pallas_divergence:
+    if cfg.pallas_divergence or cfg.divergence_g_kernel:
         _experimental_pallas_allowed()
         from pita_tpu.nets.egnn_fast import supports_fast_divergence
         from pita_tpu.ops.pallas.egnn_fwd import egnn_forward_pallas_ad
@@ -285,6 +292,8 @@ def integrate_sde(
                 pallas_divergence_block_b=cfg.pallas_divergence_block_b,
                 pallas_tangent_chunk=cfg.pallas_tangent_chunk,
                 pallas_interpret=cfg.pallas_interpret,
+                divergence_g_kernel=cfg.divergence_g_kernel,
+                g_rows_per_block=cfg.g_rows_per_block,
             )
 
         if cfg.divergence_update_interval <= 1 or resampling_interval == -1:

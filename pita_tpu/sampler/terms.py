@@ -92,6 +92,8 @@ def compute_sde_terms(
     pallas_divergence_block_b: int = 2,
     pallas_tangent_chunk: int = 16,
     pallas_interpret: bool = False,
+    divergence_g_kernel: bool = False,
+    g_rows_per_block: int = 4,
 ) -> SDETerms:
     """Assemble drift_X and drift_A at times t (B,) for chains x (B, D)."""
     B = x.shape[0]
@@ -189,6 +191,8 @@ def compute_sde_terms(
                     pallas_block_b=pallas_divergence_block_b,
                     pallas_tangent_chunk=pallas_tangent_chunk,
                     pallas_interpret=pallas_interpret,
+                    g_kernel=divergence_g_kernel,
+                    g_rows_per_block=g_rows_per_block,
                 )
             else:
                 div_st = exact_divergence(

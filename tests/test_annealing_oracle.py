@@ -100,14 +100,18 @@ def test_hutchinson_with_mala_matches_exact_quality(rng):
 
 @pytest.mark.slow
 def test_hutchinson_ess_triggered_matches_exact_quality(rng):
-    """Adaptive (ESS-triggered) resampling with NOISY Hutchinson weights —
-    no MALA: accumulating weights until the ESS degenerates (standard
-    adaptive SMC) removes the per-step selection pressure that biases the
-    per-step-resampled Hutchinson pipeline (~15% width shrinkage). This is
-    the bench's ``hutch_ess`` fast mode."""
+    """Adaptive (ESS-triggered) resampling with NOISY Hutchinson weights +
+    the reference's MALA refinement — the bench's ``hutch_ess`` fast mode.
+
+    Measured on this harness: ESS-triggering alone still shrinks the
+    tempered mode width ~23% (accumulated log-weight noise grows with the
+    accumulation window, so the trigger/end resample selects lucky chains);
+    MALA re-equilibrates within modes and closes the gap, at a cost that
+    amortizes to ~0 over a production run (30 MALA steps vs 1000
+    integration steps)."""
     base = GMM40()
     res_h, target = _run_annealed(
-        rng, "hutchinson", probes=2, ess_threshold=0.5
+        rng, "hutchinson", probes=2, ess_threshold=0.5, post_mcmc=30
     )
     ref = target.sample(jax.random.fold_in(rng, 9), res_h.samples.shape[0])
     var_gen, occ_gen = _tempered_stats(res_h.samples, target, base)
@@ -121,11 +125,13 @@ def test_hutchinson_ess_triggered_matches_exact_quality(rng):
 @pytest.mark.slow
 def test_hutchinson_ess_k10_matches_exact_quality(rng):
     """The bench's fastest mode (``hutch_ess_k10``): Hutchinson divergence on
-    a 10-step quadrature grid + ESS-triggered resampling — per-step cost
-    approaches the drift-only bound while matching the tempered target."""
+    a 10-step quadrature grid + ESS-triggered resampling + MALA refinement —
+    per-step cost approaches the drift-only bound while matching the
+    tempered target."""
     base = GMM40()
     res_h, target = _run_annealed(
-        rng, "hutchinson", probes=2, ess_threshold=0.5, div_interval=10
+        rng, "hutchinson", probes=2, ess_threshold=0.5, div_interval=10,
+        post_mcmc=30,
     )
     ref = target.sample(jax.random.fold_in(rng, 9), res_h.samples.shape[0])
     var_gen, occ_gen = _tempered_stats(res_h.samples, target, base)
