@@ -11,6 +11,9 @@ import sys
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    from pita_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     from pita_tpu.configs import compose, parse_overrides, build_trainer
     from pita_tpu.io.checkpoint import restore_checkpoint
 

@@ -13,6 +13,9 @@ import sys
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    from pita_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     opts = dict(a.split("=", 1) for a in argv)
     peptide = opts.get("peptide", "aldp")
     temperature = float(opts.get("temperature", 300.0))

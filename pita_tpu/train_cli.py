@@ -42,6 +42,9 @@ def multirun(argv):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    from pita_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     if "-m" in argv or "--multirun" in argv:
         argv = [a for a in argv if a not in ("-m", "--multirun")]
         return multirun(argv)

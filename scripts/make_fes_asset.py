@@ -29,6 +29,9 @@ OUT = os.path.join(
 
 
 def main(n_steps_per_chunk=20000, n_chunks=25, n_replicas=64):
+    from pita_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     import jax
     import jax.numpy as jnp
 

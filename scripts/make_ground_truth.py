@@ -42,6 +42,9 @@ SPECS = {
 
 
 def main(groups):
+    from pita_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     from pita_tpu.baselines.mcmc import generate_lj_dataset_reference_protocol
     from pita_tpu.targets import LennardJones
 
