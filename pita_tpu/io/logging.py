@@ -17,6 +17,20 @@ class CSVLogger:
         self.path = os.path.join(out_dir, filename)
         self._fieldnames = ["step"]
         self._rows = []
+        # a resumed run (fresh process + orbax restore, scripts/run_resumable.sh)
+        # must append to the existing history, not truncate it
+        if os.path.exists(self.path):
+            try:
+                with open(self.path, newline="") as f:
+                    reader = csv.DictReader(f)
+                    if reader.fieldnames:
+                        self._fieldnames = list(reader.fieldnames)
+                        self._rows = [
+                            {k: v for k, v in row.items() if v not in (None, "")}
+                            for row in reader
+                        ]
+            except (OSError, csv.Error):
+                pass
 
     def log_metrics(self, metrics: dict, step: int = 0):
         row = {"step": step, **{k: float(v) for k, v in metrics.items()}}

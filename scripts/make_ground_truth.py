@@ -41,7 +41,7 @@ SPECS = {
 }
 
 
-def main(groups):
+def main(groups, missing_only=False):
     from pita_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
@@ -55,6 +55,12 @@ def main(groups):
             diag_path = path.replace(".npy", ".rhat.json")
             if os.path.exists(diag_path):
                 print(f"skip {fname} (diag exists)")
+                continue
+            if missing_only and os.path.exists(path):
+                # --missing-only: don't overwrite assets a live run may be
+                # reading; upgrading those to the gated protocol is a
+                # separate, explicit pass
+                print(f"skip {fname} (exists; missing-only)")
                 continue
             target = LennardJones(
                 n_particles=n_part, smooth=True, temperature=T
@@ -84,4 +90,7 @@ def main(groups):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["lj13", "lj55"])
+    argv = sys.argv[1:]
+    missing_only = "--missing-only" in argv
+    argv = [a for a in argv if a != "--missing-only"]
+    main(argv or ["lj13", "lj55"], missing_only=missing_only)

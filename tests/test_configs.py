@@ -122,3 +122,24 @@ def test_tensorboard_logger(tmp_path):
     import os
 
     assert os.path.isdir(tmp_path / "tb") and len(os.listdir(tmp_path / "tb")) > 0
+
+
+def test_csv_logger_appends_on_resume(tmp_path):
+    """A fresh process resuming a run must not truncate metrics.csv
+    (crash-safe resume parity: utils.py:42-96 keeps Lightning's CSV intact
+    because Lightning versions the log dir; we keep one file and append)."""
+    from pita_tpu.io.logging import CSVLogger
+
+    lg = CSVLogger(str(tmp_path))
+    lg.log_metrics({"loss": 1.0}, step=0)
+    lg.log_metrics({"loss": 0.5, "extra": 2.0}, step=1)
+    # simulate the resumed process: a brand-new logger over the same dir
+    lg2 = CSVLogger(str(tmp_path))
+    lg2.log_metrics({"loss": 0.25}, step=2)
+    import csv as _csv
+
+    with open(lg2.path, newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert [r["step"] for r in rows] == ["0", "1", "2"]
+    assert rows[1]["extra"] == "2.0"
+    assert rows[0]["loss"] == "1.0"
