@@ -30,8 +30,10 @@ def table_for(run_dir):
     keys = rows[0].keys()
     out = [f"### {run_dir}", ""]
     # validation metrics per rung: group by val/lower_temp value over time
-    out.append("| eval epoch | anneal to T | energy_w2 | energy_w2_cropped | dist_w2 | ESS |")
-    out.append("|---|---|---|---|---|---|")
+    # data_energy_std is the ground-truth energy spread at the annealed-to
+    # temperature — the scale anchor every W2 must be read against
+    out.append("| eval epoch | anneal to T | energy_w2 | energy_w2_cropped | dist_w2 | ESS | GT energy σ |")
+    out.append("|---|---|---|---|---|---|---|")
     for row in rows:
         if row.get("val/energy_w2") not in ("", None):
             def g(k):
@@ -40,11 +42,12 @@ def table_for(run_dir):
 
             out.append(
                 f"| {row['step']} | {g('val/lower_temp')} | {g('val/energy_w2')} "
-                f"| {g('val/energy_w2_cropped')} | {g('val/dist_w2')} | {g('val/ess')} |"
+                f"| {g('val/energy_w2_cropped')} | {g('val/dist_w2')} | {g('val/ess')} "
+                f"| {g('val/data_energy_std')} |"
             )
     test_keys = sorted({k.rsplit("/", 1)[0] for k in keys if k.startswith("test/")})
     if test_keys:
-        out += ["", "| test pair | energy_w2 | energy_w2_cropped | dist_w2 | energy_mean |", "|---|---|---|---|---|"]
+        out += ["", "| test pair | energy_w2 | energy_w2_cropped | dist_w2 | energy_mean | GT energy σ |", "|---|---|---|---|---|---|"]
         for tk in test_keys:
             def g2(suffix):
                 v = last_value(rows, f"{tk}/{suffix}")
@@ -52,7 +55,7 @@ def table_for(run_dir):
 
             out.append(
                 f"| {tk.split('/', 1)[1]} | {g2('energy_w2')} | {g2('energy_w2_cropped')} "
-                f"| {g2('dist_w2')} | {g2('energy_mean')} |"
+                f"| {g2('dist_w2')} | {g2('energy_mean')} | {g2('data_energy_std')} |"
             )
     return "\n".join(out)
 
