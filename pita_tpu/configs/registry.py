@@ -307,6 +307,17 @@ def _coerce(s: str):
         return float(s)
     except ValueError:
         pass
+    if s and s[0] in "([":
+        # nested sequences, e.g. trainer.temps_to_anneal_test=((1.5,1.2),(1.2,1.0))
+        import ast
+
+        def tup(v):
+            return tuple(tup(p) for p in v) if isinstance(v, (tuple, list)) else v
+
+        try:
+            return tup(ast.literal_eval(s))
+        except (ValueError, SyntaxError):
+            pass
     if "," in s:
         return tuple(_coerce(p) for p in s.strip("[]()").split(",") if p != "")
     return s

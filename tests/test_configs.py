@@ -143,3 +143,21 @@ def test_csv_logger_appends_on_resume(tmp_path):
     assert [r["step"] for r in rows] == ["0", "1", "2"]
     assert rows[1]["extra"] == "2.0"
     assert rows[0]["loss"] == "1.0"
+
+
+def test_nested_tuple_override_coercion():
+    """Nested sequences in CLI overrides (e.g. temps_to_anneal_test pairs)."""
+    from pita_tpu.configs import parse_overrides
+
+    ov = parse_overrides(
+        [
+            "trainer.temps_to_anneal_test=((1.5,1.2),(1.2,1.0))",
+            "trainer.num_epochs_per_temp=(100,100,100)",
+            "a=[1,2]",
+            "b=x,y",
+        ]
+    )
+    assert ov["trainer.temps_to_anneal_test"] == ((1.5, 1.2), (1.2, 1.0))
+    assert ov["trainer.num_epochs_per_temp"] == (100, 100, 100)
+    assert ov["a"] == (1, 2)
+    assert ov["b"] == ("x", "y")
