@@ -90,6 +90,12 @@ def _lj55() -> dict:
         num_eval_samples=1024,
         temperatures=(2.0, 1.5, 1.2, 1.0),
         num_epochs_per_temp=(200, 200, 300),
+        # round-3 post-mortem: per-step resampling at 1024-chain islands
+        # collapsed transition-fill ESS to 0.005-0.018 and the cold rungs
+        # trained hot. Fill transitions with adaptive-SMC resampling + MALA
+        # re-diversification (bench-validated hutch_ess semantics) instead.
+        transition_ess_threshold=0.3,
+        transition_post_mcmc_steps=20,
     )
     # chain block for the edge-operator divergence: the per-layer (B, N², F²)
     # operators are ~0.4 GB at block 64 on LJ55 — larger blocks OOM the
@@ -169,6 +175,10 @@ def _aldp() -> dict:
             num_temp_annealed_samples=50000,
             train_on_all_temps=True,
             seed=12345,
+            # transition fills use ESS-triggered resampling: peptide fills
+            # run as 1024-chain islands where per-step selection collapses
+            # per-island ESS (LJ55 round-3 post-mortem, NOTES.md)
+            transition_ess_threshold=0.3,
         ),
         loss=dict(w_target_score=0.01),
         integrator=dict(

@@ -123,6 +123,16 @@ class TrainerConfig:
     # skip ladder rungs at transitions (energytemp_module.py:833-834)
     skip_temp: bool = False
     num_skip_temps: int = 1
+    # Rung-transition fill overrides (LJ55 round-3 post-mortem: per-step
+    # resampling at 1024-chain islands collapsed transition-fill ESS to
+    # 0.005-0.018, so the colder rungs trained on ~5-18 effective samples
+    # and their samples stayed too hot). When set, transition fills run with
+    # ESS-triggered (adaptive-SMC) resampling and/or extra MALA refinement
+    # instead of exact reference parity — both validated by the bench's
+    # two-sided quality gate (hutch_ess mode, docs/bench_r3_measured.json).
+    # None = reference-parity transition fills.
+    transition_ess_threshold: Optional[float] = None
+    transition_post_mcmc_steps: Optional[int] = None
     # test-phase annealing pairs in temperature units (al3.yaml
     # temps_to_anneal_test); None = consecutive ladder pairs
     temps_to_anneal_test: Optional[tuple] = None
@@ -693,6 +703,21 @@ class EnergyTempTrainer:
         annealing_factor = inverse_lower / inverse_temp
         target_lower = self.targets[index_lower]
 
+        # transition fills may deviate from reference parity (see the
+        # transition_* TrainerConfig fields): the next rung trains on this
+        # buffer, so fill quality dominates — ESS-triggered resampling stops
+        # per-step selection from collapsing the island populations, and
+        # extra MALA steps re-diversify the survivors at the new temperature
+        fill_cfg = None
+        if anneal_to_lower:
+            repl = {}
+            if cfg.transition_ess_threshold is not None:
+                repl["ess_resampling_threshold"] = cfg.transition_ess_threshold
+            if cfg.transition_post_mcmc_steps is not None:
+                repl["post_mcmc_steps"] = cfg.transition_post_mcmc_steps
+            if repl:
+                fill_cfg = dataclasses.replace(self.integrator_cfg, **repl)
+
         def _sample_and_energies():
             # sampling AND the downstream energy/force evaluation retry as
             # one unit: after a tunneled-worker restart the sampled device
@@ -703,6 +728,7 @@ class EnergyTempTrainer:
                 inverse_temp=inverse_temp,
                 annealing_factor=annealing_factor,
                 return_logweights=True,
+                integrator_cfg=fill_cfg,
             )
             energies, forces = target_lower.log_prob_and_force(res.samples)
             jax.block_until_ready(energies)
@@ -736,6 +762,14 @@ class EnergyTempTrainer:
             metrics[f"{prefix}/buffer_filled_temp"] = float(
                 self.temperatures[index_lower]
             )
+            if fill_cfg is not None:
+                # record the non-parity fill semantics next to the artifact
+                metrics[f"{prefix}/transition_ess_threshold"] = float(
+                    cfg.transition_ess_threshold or -1.0
+                )
+                metrics[f"{prefix}/transition_post_mcmc_steps"] = float(
+                    fill_cfg.post_mcmc_steps
+                )
 
         # metrics (:929-999)
         self.key, k_val = jax.random.split(self.key)

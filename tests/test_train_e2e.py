@@ -129,3 +129,37 @@ def test_chain_island_generation_bounded(tmp_path):
     # the returned samples (ADVICE r2: no first-island-only mismatch)
     assert res.logweights.shape[-1] == 150
     assert int(np.asarray(res.num_unique)[-1]) <= 150
+
+
+def test_transition_fill_integrator_overrides(tmp_path, monkeypatch):
+    """transition_ess_threshold / transition_post_mcmc_steps: rung-transition
+    buffer fills run with the override integrator config (adaptive-SMC
+    resampling + extra MALA — the LJ55 round-3 ESS-collapse mitigation),
+    while ordinary evals keep reference parity."""
+    trainer = _make_trainer(
+        tmp_path, transition_ess_threshold=0.3, transition_post_mcmc_steps=7
+    )
+    seen = []
+    orig = trainer.generate_samples.__func__
+
+    def spy(self, target, num_samples, **kw):
+        seen.append(kw.get("integrator_cfg"))
+        return orig(self, target, num_samples, **kw)
+
+    monkeypatch.setattr(
+        type(trainer), "generate_samples", spy
+    )
+    trainer.populate_initial_buffer()
+    # non-transition eval: parity config (integrator_cfg None)
+    trainer.evaluate(prefix="val")
+    assert seen[-1] is None
+    # transition epoch: overrides applied
+    trainer.epoch = trainer.update_temp_epoch[0] - 1
+    m = trainer.evaluate(prefix="val")
+    fill_cfg = next(c for c in seen if c is not None)
+    assert fill_cfg.ess_resampling_threshold == 0.3
+    assert fill_cfg.post_mcmc_steps == 7
+    assert m["val/transition_post_mcmc_steps"] == 7.0
+    from pita_tpu.train.buffer import buffer_view
+
+    assert int(buffer_view(trainer.buffers, 1).size) > 0
