@@ -56,6 +56,7 @@ def main(argv=None):
     ckpt_path = None
     run_test = True
     name_suffix = None
+    time_ckpt = None
     overrides = {}
     for a in list(argv):
         if a.startswith("name_suffix="):
@@ -70,6 +71,11 @@ def main(argv=None):
             ckpt_path = a.split("=", 1)[1]
         elif a.startswith("test="):
             run_test = a.split("=", 1)[1].lower() == "true"
+        elif a.startswith("time_checkpoint_seconds="):
+            # wall-clock checkpoint interval (configs/callbacks/
+            # time_checkpoint.yaml capability); bounds the progress a
+            # process-level retry can lose between validation epochs
+            time_ckpt = float(a.split("=", 1)[1])
         else:
             overrides.update(parse_overrides([a]))
 
@@ -82,7 +88,11 @@ def main(argv=None):
     # crash-safe wrapper: always flush the logger (utils.py task_wrapper parity)
     metric = None
     try:
-        trainer.fit(ckpt_path=ckpt_path, resume=ckpt_path is not None)
+        trainer.fit(
+            ckpt_path=ckpt_path,
+            resume=ckpt_path is not None,
+            time_checkpoint_seconds=time_ckpt,
+        )
         if run_test:
             # test from the saved checkpoint (train.py:110-119 tests from
             # ckpt_path="best"), not from whatever params are in memory
