@@ -1,0 +1,118 @@
+"""Transition-fill quality study: reference-parity vs ESS-mitigated fills.
+
+CPU-runnable evidence for the rung-transition mitigation
+(``TrainerConfig.transition_ess_threshold`` / ``transition_post_mcmc_steps``):
+the analytic noised-GMM oracles drive the full FK sampler from GMM-40 to the
+exact tempered product p^2 (no training involved — same machinery as
+tests/test_annealing_oracle.py), at *island scale* (small per-dispatch chain
+counts, as `max_chains_per_integrate` forces on the small-HBM chip, where the
+LJ55 round-3 ladder collapsed: per-island per-step selection left ~5-18
+effective samples per 1024-chain island).
+
+Compares, per island size, the buffer-fill population produced by
+  parity:     resample every step, no MALA        (sde_integration.py:292-296)
+  mitigated:  ESS-triggered (0.3) + 20 MALA steps (bench hutch_ess semantics)
+on: final unique-ancestor count, mode-occupancy TV and within-mode variance
+ratio vs the exact tempered ensemble, and sample-space W2.
+
+Writes docs/transition_fill_study.json.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pita_tpu.utils.platform import honor_platform_env
+
+honor_platform_env()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pita_tpu.metrics.distances import wasserstein2_exact
+from pita_tpu.sampler import IntegratorConfig, integrate_sde
+from pita_tpu.schedules import ElucidatingNoiseSchedule, ConstantAnnealingSchedule
+from pita_tpu.targets import GMM40, gmm_power
+from pita_tpu.targets.gmm import GMMScoreOracle, GMMEnergyOracle
+
+SCHED = ElucidatingNoiseSchedule(sigma_min=0.01, sigma_max=80.0, rho=7.0)
+
+
+def run_islands(key, n_islands, island, ess_threshold, post_mcmc):
+    base = GMM40()
+    target = gmm_power(base, 2)
+    anneal = ConstantAnnealingSchedule(annealing_factor=2.0)
+    cfg = IntegratorConfig(
+        num_integration_steps=1000,
+        end_resampling_step=930,
+        resampling_interval=1,
+        resample_at_end=True,
+        should_mean_free=False,
+        divergence_mode="exact",
+        post_mcmc_steps=post_mcmc,
+        adaptive_mcmc=True,
+        dt_negative_time=1e-2,
+        ess_resampling_threshold=ess_threshold,
+    )
+    scale = float(np.sqrt(SCHED.h(jnp.asarray(1.0)) / 2.0))
+    fills, uniq, ess_raw = [], [], []
+    for i in range(n_islands):
+        key, k_prior, k_int = jax.random.split(key, 3)
+        x1 = jax.random.normal(k_prior, (island, 2)) * scale
+        res = integrate_sde(
+            k_int, x1, GMMScoreOracle(base), GMMEnergyOracle(base), {}, {},
+            SCHED, anneal, target, 1.0, cfg,
+        )
+        fills.append(np.asarray(res.samples))
+        uniq.append(int(np.asarray(res.num_unique)[-1]))
+        lw = np.asarray(res.logweights)[929]
+        w = np.exp(lw - lw.max())
+        ess_raw.append(float((w.sum() ** 2) / (w**2).sum() / island))
+    return np.concatenate(fills), base, target, uniq, ess_raw
+
+
+def stats(fill, base, target, key):
+    locs = np.asarray(base.locs)
+    ref = np.asarray(target.sample(key, len(fill)))
+
+    def occ_var(s):
+        m = ((s[:, None, :] - locs[None]) ** 2).sum(-1).argmin(1)
+        occ = np.bincount(m, minlength=len(locs)) / len(s)
+        return occ, ((s - locs[m]) ** 2).mean()
+
+    occ_f, var_f = occ_var(fill)
+    occ_r, var_r = occ_var(ref)
+    n = min(len(fill), 2048)
+    idx = np.random.default_rng(0).permutation(len(fill))[:n]
+    return {
+        "occupancy_tv": float(0.5 * np.abs(occ_f - occ_r).sum()),
+        "within_mode_var_ratio": float(var_f / var_r),
+        "w2_to_exact": float(wasserstein2_exact(fill[idx], ref[:n])),
+    }
+
+
+def main():
+    out = {"target": "GMM-40 -> exact p^2 (oracle-driven)", "modes": {}}
+    for label, thr, mcmc in [("parity", None, 0), ("mitigated", 0.3, 20)]:
+        for island in (256, 1024):
+            key = jax.random.PRNGKey(17)
+            n_islands = 2048 // island
+            fill, base, target, uniq, ess_raw = run_islands(
+                key, n_islands, island, thr, mcmc
+            )
+            s = stats(fill, base, target, jax.random.PRNGKey(99))
+            s["final_unique_ancestors_per_island"] = uniq
+            s["raw_proposal_ess"] = ess_raw
+            out["modes"][f"{label}_island{island}"] = s
+            print(label, island, s, flush=True)
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/transition_fill_study.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote docs/transition_fill_study.json")
+
+
+if __name__ == "__main__":
+    main()
