@@ -465,8 +465,12 @@ def _build_annealing_factory(spec: dict):
     return lambda af: cls(annealing_factor=af, **spec)
 
 
-def build_trainer(cfg: ExperimentConfig):
-    """Instantiate the full object graph (train.py:58-79 capability)."""
+def build_trainer(cfg: ExperimentConfig, resume: bool = False):
+    """Instantiate the full object graph (train.py:58-79 capability).
+
+    ``resume`` gates CSV history read-back: only a resumed run appends to a
+    pre-existing metrics.csv; a fresh run on a reused out_dir starts clean.
+    """
     import os
 
     from pita_tpu.io.logging import make_logger
@@ -474,7 +478,7 @@ def build_trainer(cfg: ExperimentConfig):
 
     target = _build_target(cfg.energy, temperature=cfg.trainer.temperatures[0])
     out_dir = os.path.join(cfg.out_dir, cfg.name)
-    logger = make_logger(out_dir, cfg.logger)
+    logger = make_logger(out_dir, cfg.logger, resume=resume)
     return EnergyTempTrainer(
         target=target,
         backbone_factory=_build_backbone_factory(cfg.net, target),

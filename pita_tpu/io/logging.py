@@ -12,14 +12,16 @@ from typing import Optional
 
 
 class CSVLogger:
-    def __init__(self, out_dir: str, filename: str = "metrics.csv"):
+    def __init__(self, out_dir: str, filename: str = "metrics.csv",
+                 resume: bool = False):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, filename)
         self._fieldnames = ["step"]
         self._rows = []
         # a resumed run (fresh process + orbax restore, scripts/run_resumable.sh)
-        # must append to the existing history, not truncate it
-        if os.path.exists(self.path):
+        # must append to the existing history; a fresh run pointed at a reused
+        # out_dir must start clean instead of silently merging two histories
+        if resume and os.path.exists(self.path):
             try:
                 with open(self.path, newline="") as f:
                     reader = csv.DictReader(f)
@@ -115,12 +117,12 @@ class MultiLogger:
             lg.log_image(name, images, step)
 
 
-def make_logger(out_dir: str, kinds=("csv",), **kw):
+def make_logger(out_dir: str, kinds=("csv",), resume: bool = False, **kw):
     """Build a MultiLogger from backend names (configs/logger/* parity)."""
     backends = []
     for kind in kinds:
         if kind == "csv":
-            backends.append(CSVLogger(out_dir))
+            backends.append(CSVLogger(out_dir, resume=resume))
         elif kind == "console":
             backends.append(ConsoleLogger())
         elif kind == "tensorboard":

@@ -69,7 +69,7 @@ class ShardedBufferOps:
     def place(self, buf: ReplayBuffer) -> ReplayBuffer:
         cap = buf.x.shape[0]
         assert cap % self.mesh.size == 0, (
-            f"buffer capacity {cap} must divide the mesh size {self.mesh.size}"
+            f"buffer capacity {cap} must be divisible by the mesh size {self.mesh.size}"
         )
         return jax.tree.map(
             lambda a, sh: jax.device_put(jnp.asarray(a), sh), buf, self._buf_sh

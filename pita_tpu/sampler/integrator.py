@@ -243,8 +243,6 @@ def integrate_sde(
     energy_backbone_fwd = None
     if cfg.pallas_energy_grad and energy_wrapper is not None:
         _experimental_pallas_allowed()
-    if cfg.pallas_divergence or cfg.divergence_g_kernel:
-        _experimental_pallas_allowed()
         from pita_tpu.nets.egnn_fast import supports_fast_divergence
         from pita_tpu.ops.pallas.egnn_fwd import egnn_forward_pallas_ad
 
@@ -255,6 +253,8 @@ def integrate_sde(
                     block_b=cfg.pallas_block_b, interpret=cfg.pallas_interpret,
                 )
             )
+    if cfg.pallas_divergence or cfg.divergence_g_kernel:
+        _experimental_pallas_allowed()
 
     def body(carry, inp):
         # params and beta ride in the carry (unchanged) so the compiled

@@ -83,7 +83,7 @@ def main(argv=None):
     if name_suffix:
         cfg.name = f"{cfg.name}_{name_suffix}"
     print(f"experiment={cfg.name} tags={cfg.tags} out_dir={cfg.out_dir}")
-    trainer = build_trainer(cfg)
+    trainer = build_trainer(cfg, resume=ckpt_path is not None)
 
     # crash-safe wrapper: always flush the logger (utils.py task_wrapper parity)
     metric = None

@@ -134,7 +134,7 @@ def test_csv_logger_appends_on_resume(tmp_path):
     lg.log_metrics({"loss": 1.0}, step=0)
     lg.log_metrics({"loss": 0.5, "extra": 2.0}, step=1)
     # simulate the resumed process: a brand-new logger over the same dir
-    lg2 = CSVLogger(str(tmp_path))
+    lg2 = CSVLogger(str(tmp_path), resume=True)
     lg2.log_metrics({"loss": 0.25}, step=2)
     import csv as _csv
 
@@ -143,6 +143,13 @@ def test_csv_logger_appends_on_resume(tmp_path):
     assert [r["step"] for r in rows] == ["0", "1", "2"]
     assert rows[1]["extra"] == "2.0"
     assert rows[0]["loss"] == "1.0"
+    # a NON-resume logger over the same dir must start clean (ADVICE r3):
+    # two unrelated runs' histories must not merge
+    lg3 = CSVLogger(str(tmp_path))
+    lg3.log_metrics({"loss": 9.0}, step=0)
+    with open(lg3.path, newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert [r["step"] for r in rows] == ["0"] and rows[0]["loss"] == "9.0"
 
 
 def test_nested_tuple_override_coercion():

@@ -93,9 +93,12 @@ def test_pallas_ad_grads_match_xla(rng):
                                rtol=5e-4, atol=5e-5)
 
 
-def test_integrator_pallas_energy_grad_matches_default(rng):
+def test_integrator_pallas_energy_grad_matches_default(rng, monkeypatch):
     """The pallas_energy_grad flag must not change sampler results beyond
-    float reassociation (interpret mode on CPU)."""
+    float reassociation (interpret mode on CPU) — and the Pallas forward
+    must actually be exercised (guards against silently wiring the flag
+    to the default path, see ADVICE r3)."""
+    import pita_tpu.ops.pallas.egnn_fwd as egnn_fwd_mod
     from pita_tpu.nets import EnergyWrapper, ScoreWrapper
     from pita_tpu.sampler import IntegratorConfig, integrate_sde
     from pita_tpu.schedules import (
@@ -117,10 +120,19 @@ def test_integrator_pallas_energy_grad_matches_default(rng):
                             resampling_interval=2)
     r0 = integrate_sde(jax.random.fold_in(rng, 3), x1, score, energy, ps, pe,
                        sched, anneal, target, 1.0, base)
+    calls = {"n": 0}
+    real_ad = egnn_fwd_mod.egnn_forward_pallas_ad
+
+    def spy_ad(*a, **kw):
+        calls["n"] += 1
+        return real_ad(*a, **kw)
+
+    monkeypatch.setattr(egnn_fwd_mod, "egnn_forward_pallas_ad", spy_ad)
     r1 = integrate_sde(jax.random.fold_in(rng, 3), x1, score, energy, ps, pe,
                        sched, anneal, target, 1.0,
                        base.replace(pallas_energy_grad=True,
                                     pallas_block_b=2, pallas_interpret=True))
+    assert calls["n"] > 0, "pallas_energy_grad=True never invoked the kernel"
     np.testing.assert_allclose(np.asarray(r1.samples), np.asarray(r0.samples),
                                rtol=1e-4, atol=1e-4)
 
