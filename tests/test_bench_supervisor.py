@@ -1,0 +1,167 @@
+"""bench.py supervisor logic: synthesis from committed progress events,
+always-one-JSON-line guarantees, deadline behavior (no JAX, no TPU).
+
+VERDICT r3 missing #1: the driver's capture must succeed even when the chip
+is dead or the run is killed mid-phase."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def _write_progress(tmp_path, events):
+    p = tmp_path / "prog.jsonl"
+    with open(p, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    return str(p)
+
+
+def test_synthesize_full_run(tmp_path):
+    """All phases committed: headline = fastest gate-passing mode with MALA
+    amortized in; two-sided gate evaluated from committed events."""
+    spread = 14.6
+    p = _write_progress(tmp_path, [
+        {"event": "gt_spread", "spread": spread},
+        {"event": "timed", "mode": "hutch_ess_k10", "cps": 46000.0,
+         "n_chains": 2048, "n_steps": 100},
+        {"event": "quality", "mode": "hutch_ess_k10", "wall_s": 30.0,
+         "exact_arm": "committed-asset",
+         "hutch_ess_k10_vs_groundtruth_energy_w2": 20.9,
+         "exact_vs_hutch_ess_k10_energy_w2": 1.9},
+        {"event": "mala", "mala30_wall_s": 2.0, "n_chains": 2048},
+        {"event": "timed", "mode": "exact", "cps": 600.0,
+         "n_chains": 2048, "n_steps": 100},
+    ])
+    out, ok = bench._synthesize(p, time.time(), "")
+    assert ok
+    d = out["details"]
+    assert d["headline_mode"] == "hutch_ess_k10"
+    assert d["quality_gate_ok"] is True
+    assert "hutch_ess_k10" in d["modes_passing_gate"]
+    # amortized headline: 2048*1000/(2048*1000/46000 + 2.0)
+    expect = 2048 * 1000 / (2048 * 1000 / 46000.0 + 2.0)
+    assert abs(out["value"] - expect) < 1.0
+    assert out["value"] < d["headline_raw_rate"]  # MALA cost folded in
+    assert d["mala_amortized"] is True
+    assert out["vs_baseline"] == round(out["value"] / 3400.0, 3)
+
+
+def test_synthesize_gate_failure_falls_back_to_slowest(tmp_path):
+    """A fast mode that fails the gate must not become the headline."""
+    p = _write_progress(tmp_path, [
+        {"event": "gt_spread", "spread": 10.0},
+        {"event": "timed", "mode": "hutch_ess_k10", "cps": 46000.0,
+         "n_chains": 2048, "n_steps": 100},
+        {"event": "timed", "mode": "exact", "cps": 600.0,
+         "n_chains": 2048, "n_steps": 100},
+        {"event": "quality", "mode": "hutch_ess_k10", "wall_s": 30.0,
+         "exact_arm": "committed-asset",
+         "hutch_ess_k10_vs_groundtruth_energy_w2": 50.0,  # > 2*spread
+         "exact_vs_hutch_ess_k10_energy_w2": 1.9},
+    ])
+    out, ok = bench._synthesize(p, time.time(), "")
+    assert ok
+    assert out["details"]["headline_mode"] == "exact"
+    assert out["details"]["quality_gate_ok"] is False
+
+
+def test_synthesize_partial_run_timing_only(tmp_path):
+    """Watchdog fires after only a timing phase: degraded but parseable."""
+    p = _write_progress(tmp_path, [
+        {"event": "timed", "mode": "hutch_ess_k10", "cps": 46000.0,
+         "n_chains": 2048, "n_steps": 100},
+    ])
+    out, ok = bench._synthesize(p, time.time(), "deadline reached")
+    assert ok
+    assert out["value"] == 46000.0
+    assert out["details"]["quality_gate_ok"] is False
+    assert out["details"]["quality_gate_ran"] is False
+    assert out["details"]["note"] == "deadline reached"
+
+
+def test_synthesize_nothing_measured_carries_last_committed(tmp_path,
+                                                            monkeypatch):
+    """Dead chip: structured failure with details.last_committed."""
+    last = tmp_path / "last.json"
+    last.write_text(json.dumps({"metric": bench.METRIC, "value": 46581.5}))
+    monkeypatch.setattr(bench, "LAST_COMMITTED", str(last))
+    p = _write_progress(tmp_path, [])
+    out, ok = bench._synthesize(p, time.time(), "device probe never succeeded")
+    assert not ok
+    assert out["value"] == 0.0
+    assert out["details"]["all_attempts_failed"] is True
+    assert out["details"]["last_committed"]["value"] == 46581.5
+    # still a complete, driver-parseable record
+    json.loads(json.dumps(out))
+
+
+def test_emit_prints_exactly_once(capsys, monkeypatch, tmp_path):
+    monkeypatch.setattr(bench, "LAST_COMMITTED",
+                        str(tmp_path / "last.json"))
+    bench._EMITTED.clear()
+    bench._emit({"metric": bench.METRIC, "value": 1.0, "details": {}})
+    bench._emit({"metric": bench.METRIC, "value": 2.0, "details": {}})
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    assert json.loads(out[0])["value"] == 1.0
+    bench._EMITTED.clear()
+
+
+@pytest.mark.slow
+def test_sigterm_emits_json_and_exits_zero(tmp_path):
+    """timeout(1)'s SIGTERM mid-probe must still yield one JSON line, rc=0
+    (the exact failure shape of BENCH_r03.json)."""
+    env = dict(
+        os.environ,
+        PITA_BENCH_DEADLINE_S="3600",
+        JAX_PLATFORMS="cpu",
+        PITA_BENCH_FAKE_DEAD_DEVICE="1",  # forces the probe loop
+    )
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    time.sleep(8)  # let it settle into the probe loop
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=60)
+    assert proc.returncode == 0
+    lines = [ln for ln in out.strip().splitlines() if ln.startswith("{")]
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed["metric"] == bench.METRIC
+
+
+@pytest.mark.slow
+def test_deadline_watchdog_emits_json(tmp_path):
+    """A dead device + short deadline: the watchdog prints the failure JSON
+    and exits 0 before any driver timeout can SIGKILL."""
+    env = dict(
+        os.environ,
+        PITA_BENCH_DEADLINE_S="25",
+        JAX_PLATFORMS="cpu",
+        PITA_BENCH_FAKE_DEAD_DEVICE="1",
+    )
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 0
+    assert time.time() - t0 < 40
+    lines = [ln for ln in proc.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed["value"] == 0.0
+    assert parsed["details"]["all_attempts_failed"] is True
