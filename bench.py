@@ -275,11 +275,16 @@ def worker(cfg):
         )
 
     def quality_mode(name):
+        # single full run (no warmup rep — we need the samples, not a rate)
+        run = make_run(quality_cfg(name))
         t0 = time.perf_counter()
-        _, _, res = run_mode(
-            make_run(quality_cfg(name)), jax.random.fold_in(key, 5), x1q,
-            n_chains_q, n_steps_q, 1, f"quality:{name}",
-        )
+
+        def go():
+            r = run(jax.random.fold_in(key, 5), x1q)
+            jax.block_until_ready(r.samples)
+            return r
+
+        res = _retry(go, f"quality:{name}")
         wall = time.perf_counter() - t0
         e = np.asarray(target.log_prob(res.samples))
         jax.clear_caches()

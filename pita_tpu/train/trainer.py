@@ -133,6 +133,20 @@ class TrainerConfig:
     # None = reference-parity transition fills.
     transition_ess_threshold: Optional[float] = None
     transition_post_mcmc_steps: Optional[int] = None
+    # Buffer-fill quality floor (VERDICT r3 next #6): a rung transition whose
+    # fill has normalized importance-weight ESS below this floor is retried
+    # with escalated settings — more chains (× transition_fill_chain_
+    # multiplier) and more MALA re-diversification (+ transition_fill_extra_
+    # mcmc steps, with adaptive-SMC resampling forced on) — up to
+    # transition_fill_max_retries times. The attempt with the highest
+    # effective sample count (ESS × chains) fills the buffer either way; a
+    # floor violation is recorded in metrics rather than training blindly on
+    # a ~5-effective-sample buffer (the LJ55 round-3 failure,
+    # energytemp_module.py:1229-1247 buffer-population contract).
+    transition_min_fill_ess: Optional[float] = None
+    transition_fill_max_retries: int = 2
+    transition_fill_chain_multiplier: float = 2.0
+    transition_fill_extra_mcmc: int = 30
     # test-phase annealing pairs in temperature units (al3.yaml
     # temps_to_anneal_test); None = consecutive ladder pairs
     temps_to_anneal_test: Optional[tuple] = None
@@ -718,28 +732,77 @@ class EnergyTempTrainer:
             if repl:
                 fill_cfg = dataclasses.replace(self.integrator_cfg, **repl)
 
-        def _sample_and_energies():
+        def _sample_and_energies(n_request, f_cfg):
             # sampling AND the downstream energy/force evaluation retry as
             # one unit: after a tunneled-worker restart the sampled device
             # buffers are gone, so retrying only the energy call cannot work
             res, res_nores = self.generate_samples(
                 target_lower,
-                num_samples,
+                n_request,
                 inverse_temp=inverse_temp,
                 annealing_factor=annealing_factor,
                 return_logweights=True,
-                integrator_cfg=fill_cfg,
+                integrator_cfg=f_cfg,
             )
             energies, forces = target_lower.log_prob_and_force(res.samples)
             jax.block_until_ready(energies)
             return res, res_nores, energies, forces
 
-        res, res_nores, energies, forces = _retry_on_runtime_error(
-            _sample_and_energies
-        )
-        samples = res.samples
-
+        # buffer-fill quality floor: refuse a collapsed transition fill and
+        # retry with escalated settings (see TrainerConfig.transition_min_
+        # fill_ess); the best attempt by effective sample count wins
+        fill_floor = cfg.transition_min_fill_ess if anneal_to_lower else None
+        n_request, fill_attempt, fill_ess_v, best = num_samples, 0, None, None
         metrics = {}
+        while True:
+            res, res_nores, energies, forces = _retry_on_runtime_error(
+                lambda n=n_request, f=fill_cfg: _sample_and_energies(n, f)
+            )
+            if fill_floor is None:
+                break
+            used_cfg = fill_cfg or self.integrator_cfg
+            lw_f = min(
+                used_cfg.end_resampling_step, used_cfg.num_integration_steps
+            ) - 1
+            fill_ess_v = float(
+                effective_sample_size(res_nores.logweights[lw_f], normalize=True)
+            )
+            eff = fill_ess_v * res.samples.shape[0]
+            if best is None or eff > best[0]:
+                best = (eff, fill_ess_v, res, res_nores, energies, forces)
+            if (
+                fill_ess_v >= fill_floor
+                or fill_attempt >= cfg.transition_fill_max_retries
+            ):
+                break
+            fill_attempt += 1
+            base_fill = fill_cfg or self.integrator_cfg
+            # escalation = more chains + more MALA re-diversification.
+            # The adaptive-SMC trigger is NOT forced on: the oracle study
+            # (docs/transition_fill_study.json) shows ESS-triggered
+            # resampling does not beat per-step parity even at collapsed
+            # raw ESS — only configure it via transition_ess_threshold.
+            fill_cfg = base_fill.replace(
+                post_mcmc_steps=base_fill.post_mcmc_steps
+                + cfg.transition_fill_extra_mcmc,
+                ess_resampling_threshold=(
+                    base_fill.ess_resampling_threshold
+                    or cfg.transition_ess_threshold
+                ),
+            )
+            n_request = int(n_request * cfg.transition_fill_chain_multiplier)
+            print(
+                f"[trainer] transition fill ESS {fill_ess_v:.4f} below floor "
+                f"{fill_floor}; retry {fill_attempt} with {n_request} chains, "
+                f"{fill_cfg.post_mcmc_steps} MALA steps"
+            )
+        if best is not None:
+            eff, fill_ess_v, res, res_nores, energies, forces = best
+            metrics[f"{prefix}/fill_ess"] = fill_ess_v
+            metrics[f"{prefix}/fill_effective_samples"] = eff
+            metrics[f"{prefix}/fill_attempts"] = float(fill_attempt)
+            metrics[f"{prefix}/fill_below_floor"] = float(fill_ess_v < fill_floor)
+        samples = res.samples
         if anneal_to_lower:
             # |E| mask then fill the next rung's buffer (:881-901)
             mask = jnp.abs(energies) <= cfg.energy_masking_threshold

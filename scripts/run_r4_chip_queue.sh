@@ -1,0 +1,87 @@
+#!/bin/bash
+# Round-4 serialized chip queue (one shared tunneled TPU — never two device
+# jobs at once). Stages, in order (short jobs first so artifacts land even if
+# the chip dies mid-round):
+#   A. bench.py LONG run (40 min budget): full measurement INCLUDING the
+#      in-run exact quality pass, which persists
+#      pita_tpu/assets/bench_lj55_exact_energies.npy — the committed
+#      exact-parity population that makes every later bench run fast.
+#   B. bench.py FAST-path run (default 480 s budget): validates the
+#      driver-window path end-to-end on hardware (VERDICT r3 missing #1).
+#   C. G-operator Pallas kernel on-chip validation (VERDICT r3 next #5).
+#   D. LJ13 test phase, cold ladder pairs (VERDICT r3 next #4).
+#   E. LJ55 cold-rung re-anneal with floor-gated transition fills
+#      (VERDICT r3 next #2) — resumable, bounded attempts.
+#   F. ALDP training at half reference budget (VERDICT r3 next #3) —
+#      resumable; whatever completes this round carries to the next.
+# Logs: /tmp/r4_*.log
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+
+wait_for_chip() {
+  for i in $(seq 1 "${PROBE_ATTEMPTS:-48}"); do
+    timeout 300 python -c "import jax; print(jax.devices())" \
+      >> /tmp/r4_probe.log 2>&1 && return 0
+    echo "[queue] chip probe $i failed; sleeping 240s" >&2
+    sleep 240
+  done
+  echo "[queue] chip never came up" >&2
+  return 1
+}
+
+wait_for_chip || exit 1
+
+echo "[queue] stage A: bench long run (exact-population asset)"
+if [ ! -f pita_tpu/assets/bench_lj55_exact_energies.npy ]; then
+  PITA_BENCH_DEADLINE_S=2400 timeout 2600 python bench.py \
+    > docs/bench_r4_longrun.json 2> /tmp/r4_bench_long.log
+  echo "[queue] stage A rc=$? asset=$(ls -la pita_tpu/assets/bench_lj55_exact_energies.npy 2>/dev/null || echo MISSING)"
+fi
+wait_for_chip || exit 1
+
+echo "[queue] stage B: bench fast-path run (driver-window validation)"
+timeout 600 python bench.py > docs/bench_r4_fastpath.json 2> /tmp/r4_bench_fast.log
+echo "[queue] stage B rc=$?"
+wait_for_chip || exit 1
+
+echo "[queue] stage C: G-op kernel on-chip validation"
+PITA_TPU_ENABLE_EXPERIMENTAL_PALLAS=1 timeout 3600 \
+  python scripts/validate_g_op_onchip.py > /tmp/r4_g_op.log 2>&1
+echo "[queue] stage C rc=$? ($(tail -c 300 docs/g_op_onchip.json 2>/dev/null))"
+wait_for_chip || exit 1
+
+echo "[queue] stage D: LJ13 cold-pair test phase"
+for i in $(seq 1 "${LJ13_ATTEMPTS:-4}"); do
+  timeout 7200 python -m pita_tpu.eval_cli experiment=lj13 \
+    ckpt_path=runs_r3/lj13_ckpt out_dir=runs_r4/lj13_test \
+    "trainer.temps_to_anneal_test=((1.5,1.2),(1.2,1.0))" \
+    trainer.make_plots=true \
+    >> /tmp/r4_lj13_test.log 2>&1 && break
+  echo "[queue] lj13 test attempt $i failed; sleeping 240s" >&2
+  sleep 240
+  wait_for_chip || exit 1
+done
+
+echo "[queue] stage E: LJ55 cold-rung re-anneal (floor-gated fills)"
+MAX_ATTEMPTS="${LJ55_ATTEMPTS:-12}" bash scripts/run_lj55_reanneal.sh \
+  > /tmp/r4_lj55_reanneal.log 2>&1
+echo "[queue] stage E rc=$?"
+wait_for_chip || exit 1
+
+echo "[queue] stage F: ALDP half-budget training"
+mkdir -p runs_r4
+for i in $(seq 1 "${ALDP_ATTEMPTS:-20}"); do
+  timeout 10800 python -m pita_tpu.train_cli experiment=aldp out_dir=runs_r4 \
+    ckpt_path=runs_r4/aldp_ckpt energy.data_dir=data \
+    "trainer.num_epochs_per_temp=(100,100,100)" \
+    trainer.num_temp_annealed_samples=25000 \
+    trainer.make_plots=true \
+    time_checkpoint_seconds=3600 \
+    integrator.divergence_update_interval=10 \
+    >> /tmp/r4_aldp.log 2>&1 && break
+  echo "[queue] aldp attempt $i failed; sleeping 240s" >&2
+  sleep 240
+  wait_for_chip || exit 1
+done
+echo "[queue] done"

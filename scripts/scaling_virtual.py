@@ -1,0 +1,122 @@
+"""Wall-clock scaling curve of the sharded sampler on a virtual CPU mesh.
+
+Complements the collective-payload accounting (scripts/measure_collectives.py,
+docs/collectives.json) with an executed-wall-clock curve: ``sharded_integrate``
+steps/s at 1/2/4/8 devices at FIXED global chain count (strong scaling), on
+the 8-virtual-device CPU mesh (`--xla_force_host_platform_device_count`).
+
+CPU cores stand in for chips, so the absolute numbers mean nothing — the
+curve's shape shows that the program actually parallelizes over the mesh
+axis (per-device chain slices shrink, collectives stay scalar-sized) rather
+than serializing on a replicated computation.  Reference contrast:
+``sde_integration.py:248-258`` all_gathers the full chain state every step.
+
+Writes docs/scaling_virtual.json.
+
+Run:
+    python scripts/scaling_virtual.py
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+from pita_tpu.nets import EGNNBackbone, EnergyWrapper, ScoreWrapper  # noqa: E402
+from pita_tpu.parallel.sharded import sharded_integrate  # noqa: E402
+from pita_tpu.sampler import IntegratorConfig  # noqa: E402
+from pita_tpu.schedules import (  # noqa: E402
+    ConstantAnnealingSchedule,
+    ElucidatingNoiseSchedule,
+)
+from pita_tpu.targets import LJ13  # noqa: E402
+
+GLOBAL_CHAINS = 512
+N_STEPS = 40
+REPS = 3
+
+
+def main():
+    target = LJ13(temperature=2.0)
+    dim = target.dim
+    key = jax.random.PRNGKey(0)
+
+    def backbone():
+        return EGNNBackbone(
+            n_particles=13, n_spatial_dim=3, hidden_nf=32, n_layers=3
+        )
+
+    score, energy = ScoreWrapper(backbone()), EnergyWrapper(backbone())
+    ps = score.init(key, dim)
+    pe = energy.init(jax.random.fold_in(key, 1), dim)
+    sched = ElucidatingNoiseSchedule(sigma_min=0.05, sigma_max=80.0, rho=7.0)
+    anneal = ConstantAnnealingSchedule(annealing_factor=1.2)
+    cfg = IntegratorConfig(
+        num_integration_steps=N_STEPS,
+        end_resampling_step=N_STEPS,
+        resampling_interval=1,
+        should_mean_free=True,
+        divergence_mode="hutchinson",
+        hutchinson_probes=2,
+    )
+    scale = float(jnp.sqrt(sched.h(jnp.asarray(1.0)) / 1.2))
+    x1 = jax.random.normal(jax.random.fold_in(key, 2), (GLOBAL_CHAINS, dim))
+    x1 = x1 * scale
+
+    devices = jax.devices()
+    out = {
+        "workload": f"LJ13 EGNN(32x3) hutch2, {GLOBAL_CHAINS} global chains, "
+        f"{N_STEPS} steps (strong scaling)",
+        "backend": "cpu-virtual",
+        "curve": {},
+    }
+    for n_dev in (1, 2, 4, 8):
+        mesh = Mesh(devices[:n_dev], axis_names=("chains",))
+
+        def run():
+            res = sharded_integrate(
+                mesh, jax.random.fold_in(key, 3), x1, score, energy, ps, pe,
+                sched, anneal, target, 1.0, cfg,
+            )
+            jax.block_until_ready(res.samples)
+            return res
+
+        run()  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            run()
+        dt = (time.perf_counter() - t0) / REPS
+        sps = N_STEPS / dt
+        out["curve"][str(n_dev)] = {
+            "steps_per_sec": round(sps, 2),
+            "chain_steps_per_sec": round(sps * GLOBAL_CHAINS, 1),
+            "wall_s_per_run": round(dt, 3),
+        }
+        print(f"{n_dev} devices: {sps:.2f} steps/s", flush=True)
+
+    base = out["curve"]["1"]["steps_per_sec"]
+    for n_dev, row in out["curve"].items():
+        row["speedup_vs_1dev"] = round(row["steps_per_sec"] / base, 2)
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/scaling_virtual.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote docs/scaling_virtual.json")
+
+
+if __name__ == "__main__":
+    main()

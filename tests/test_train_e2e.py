@@ -163,3 +163,65 @@ def test_transition_fill_integrator_overrides(tmp_path, monkeypatch):
     from pita_tpu.train.buffer import buffer_view
 
     assert int(buffer_view(trainer.buffers, 1).size) > 0
+
+
+def test_transition_fill_quality_floor_triggers_retry(tmp_path, monkeypatch):
+    """transition_min_fill_ess: a collapsed transition fill (degenerate
+    importance weights) must trigger the escalation path — more chains, more
+    MALA, adaptive-SMC resampling — and the buffer must be filled from the
+    best attempt (VERDICT r3 next #6: never train a rung on ~5 effective
+    samples without at least retrying)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pita_tpu.sampler.integrator import IntegrateResult
+
+    trainer = _make_trainer(tmp_path, transition_min_fill_ess=0.05,
+                            transition_fill_max_retries=2,
+                            transition_fill_chain_multiplier=2.0,
+                            transition_fill_extra_mcmc=30)
+    trainer.populate_initial_buffer()
+    steps = trainer.integrator_cfg.num_integration_steps
+    calls = []
+
+    def fake_generate(target, num_samples, inverse_temp=1.0,
+                      annealing_factor=1.0, return_logweights=False,
+                      integrator_cfg=None, **kw):
+        calls.append((num_samples, integrator_cfg))
+        n_diag = min(num_samples, 512)
+        lw = jnp.zeros((steps + 1, n_diag))
+        if len(calls) == 1:  # collapsed: one chain carries all the weight
+            lw = lw.at[:, 0].set(50.0)
+        k = jax.random.PRNGKey(len(calls))
+        res = IntegrateResult(
+            samples=jax.random.normal(k, (num_samples, 2)),
+            logweights=jnp.zeros((steps + 1, num_samples)),
+            num_unique=jnp.full((steps + 1,), n_diag),
+            term_stats=None,
+            acceptance_rates=jnp.zeros((0,)),
+        )
+        res_nores = res._replace(
+            samples=res.samples[:n_diag], logweights=lw
+        )
+        return (res, res_nores) if return_logweights else res
+
+    monkeypatch.setattr(trainer, "generate_samples", fake_generate)
+    trainer.epoch = trainer.update_temp_epoch[0] - 1  # transition epoch
+    m = trainer.evaluate(prefix="val")
+
+    # exactly one retry: attempt 0 collapsed (ESS ~ 1/512), attempt 1 clean
+    assert len(calls) == 2
+    assert m["val/fill_attempts"] == 1.0
+    assert m["val/fill_below_floor"] == 0.0
+    assert m["val/fill_ess"] > 0.9
+    # escalation: doubled chains + extra MALA; the adaptive-SMC trigger is
+    # NOT forced on (the oracle study shows it does not beat per-step parity
+    # even at collapsed raw ESS) — only transition_ess_threshold enables it
+    assert calls[1][0] == 2 * calls[0][0]
+    esc = calls[1][1]
+    assert esc.post_mcmc_steps == trainer.integrator_cfg.post_mcmc_steps + 30
+    assert esc.ess_resampling_threshold is None
+    # the buffer holds the escalated attempt's fill
+    from pita_tpu.train.buffer import buffer_view
+
+    assert int(buffer_view(trainer.buffers, 1).size) >= calls[1][0]
