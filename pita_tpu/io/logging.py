@@ -104,6 +104,77 @@ class TensorBoardLogger:
                 )
 
 
+class MLflowLogger:
+    """configs/logger/mlflow.yaml parity; requires the mlflow package."""
+
+    def __init__(self, out_dir: str, experiment: str = "pita_tpu"):
+        import mlflow
+
+        self._mlflow = mlflow
+        mlflow.set_tracking_uri(f"file:{os.path.join(out_dir, 'mlruns')}")
+        mlflow.set_experiment(experiment)
+        self._run = mlflow.start_run()
+
+    def log_metrics(self, metrics: dict, step: int = 0):
+        self._mlflow.log_metrics(
+            {k.replace("/", "_"): float(v) for k, v in metrics.items()},
+            step=step,
+        )
+
+    def log_image(self, name, images, step: int = 0):
+        pass
+
+
+class NeptuneLogger:
+    """configs/logger/neptune.yaml parity; requires the neptune package."""
+
+    def __init__(self, project: str = "pita_tpu", **kw):
+        import neptune
+
+        self._run = neptune.init_run(project=project, **kw)
+
+    def log_metrics(self, metrics: dict, step: int = 0):
+        for k, v in metrics.items():
+            self._run[k].append(float(v), step=step)
+
+    def log_image(self, name, images, step: int = 0):
+        pass
+
+
+class CometLogger:
+    """configs/logger/comet.yaml parity; requires the comet_ml package."""
+
+    def __init__(self, project: str = "pita_tpu", **kw):
+        import comet_ml
+
+        self._exp = comet_ml.Experiment(project_name=project, **kw)
+
+    def log_metrics(self, metrics: dict, step: int = 0):
+        self._exp.log_metrics(
+            {k: float(v) for k, v in metrics.items()}, step=step
+        )
+
+    def log_image(self, name, images, step: int = 0):
+        for im in images:
+            self._exp.log_image(im, name=name, step=step)
+
+
+class AimLogger:
+    """configs/logger/aim.yaml parity; requires the aim package."""
+
+    def __init__(self, out_dir: str, experiment: str = "pita_tpu"):
+        from aim import Run
+
+        self._run = Run(repo=out_dir, experiment=experiment)
+
+    def log_metrics(self, metrics: dict, step: int = 0):
+        for k, v in metrics.items():
+            self._run.track(float(v), name=k, step=step)
+
+    def log_image(self, name, images, step: int = 0):
+        pass
+
+
 class MultiLogger:
     def __init__(self, loggers):
         self.loggers = list(loggers)
@@ -135,6 +206,18 @@ def make_logger(out_dir: str, kinds=("csv",), resume: bool = False, **kw):
                 backends.append(WandbLogger(**kw))
             except ImportError:
                 print("wandb not available; skipping")
+        elif kind in ("mlflow", "neptune", "comet", "aim"):
+            # reference configs/logger/{mlflow,neptune,comet,aim}.yaml —
+            # import-gated like wandb (none are baked into this image)
+            cls = {"mlflow": MLflowLogger, "neptune": NeptuneLogger,
+                   "comet": CometLogger, "aim": AimLogger}[kind]
+            try:
+                if kind in ("mlflow", "aim"):
+                    backends.append(cls(out_dir, **kw))
+                else:
+                    backends.append(cls(**kw))
+            except ImportError:
+                print(f"{kind} not available; skipping")
         else:
             raise ValueError(f"unknown logger kind {kind}")
     return MultiLogger(backends)

@@ -40,11 +40,74 @@ def multirun(argv):
     return results
 
 
+def sweep(argv):
+    """Random-search sweeper (the reference's hydra-optuna plugin capability,
+    environment.yaml:41, with optuna's default TPE swapped for seeded random
+    search — optuna is not vendored). Range args sample per trial:
+
+        key=lo:hi     float range (log-uniform when 0 < lo and hi/lo >= 10)
+        key=a,b,c     uniform choice
+
+    ``sweep_trials=N`` (default 8) and ``sweep_seed=S`` control the search.
+    Minimizes the metric ``main`` returns (val energy_w2); prints and returns
+    the best trial."""
+    import random
+    import re
+
+    trials, seed, ranges, fixed = 8, 0, [], []
+    for a in argv:
+        if a.startswith("sweep_trials="):
+            trials = int(a.split("=", 1)[1])
+        elif a.startswith("sweep_seed="):
+            seed = int(a.split("=", 1)[1])
+        elif "=" in a and re.fullmatch(
+            r"[-+0-9.eE]+:[-+0-9.eE]+", a.split("=", 1)[1]
+        ):
+            k, v = a.split("=", 1)
+            lo, hi = (float(x) for x in v.split(":"))
+            ranges.append((k, ("range", lo, hi)))
+        elif "=" in a and "," in a.split("=", 1)[1]:
+            k, v = a.split("=", 1)
+            ranges.append((k, ("choice", v.split(","))))
+        else:
+            fixed.append(a)
+    rng = random.Random(seed)
+    import math
+
+    best, results = None, []
+    for t in range(trials):
+        draw = {}
+        for k, spec in ranges:
+            if spec[0] == "range":
+                _, lo, hi = spec
+                if lo > 0 and hi / lo >= 10:
+                    draw[k] = math.exp(rng.uniform(math.log(lo), math.log(hi)))
+                else:
+                    draw[k] = rng.uniform(lo, hi)
+            else:
+                draw[k] = rng.choice(spec[1])
+        run_args = fixed + [f"{k}={v}" for k, v in draw.items()]
+        run_args.append(f"name_suffix=trial{t}")
+        print(f"=== sweep trial {t}/{trials}: {draw} ===")
+        try:
+            metric = main(run_args)
+        except Exception:
+            traceback.print_exc()
+            metric = None
+        results.append((t, draw, metric))
+        if metric is not None and (best is None or metric < best[2]):
+            best = (t, draw, metric)
+    print(f"sweep done; best trial: {best}")
+    return best
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     from pita_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
+    if "--sweep" in argv:
+        return sweep([a for a in argv if a != "--sweep"])
     if "-m" in argv or "--multirun" in argv:
         argv = [a for a in argv if a not in ("-m", "--multirun")]
         return multirun(argv)

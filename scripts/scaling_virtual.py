@@ -46,9 +46,9 @@ from pita_tpu.schedules import (  # noqa: E402
 )
 from pita_tpu.targets import LJ13  # noqa: E402
 
-GLOBAL_CHAINS = 512
-N_STEPS = 40
-REPS = 3
+GLOBAL_CHAINS = 256
+N_STEPS = 16
+REPS = 2
 
 
 def main():
@@ -58,7 +58,7 @@ def main():
 
     def backbone():
         return EGNNBackbone(
-            n_particles=13, n_spatial_dim=3, hidden_nf=32, n_layers=3
+            n_particles=13, n_spatial_dim=3, hidden_nf=16, n_layers=2
         )
 
     score, energy = ScoreWrapper(backbone()), EnergyWrapper(backbone())
@@ -80,7 +80,7 @@ def main():
 
     devices = jax.devices()
     out = {
-        "workload": f"LJ13 EGNN(32x3) hutch2, {GLOBAL_CHAINS} global chains, "
+        "workload": f"LJ13 EGNN(16x2) hutch2, {GLOBAL_CHAINS} global chains, "
         f"{N_STEPS} steps (strong scaling)",
         "backend": "cpu-virtual",
         "curve": {},
