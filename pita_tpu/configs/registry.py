@@ -99,7 +99,7 @@ def _lj55() -> dict:
         # adaptive-SMC resampling + MALA re-diversification and more chains
         # (the collapse-regime study validates the escalated semantics where
         # they actually fire — docs/transition_fill_study.json).
-        transition_min_fill_ess=0.05,
+        transition_min_fill_ess=0.02,
         transition_fill_max_retries=2,
         transition_fill_extra_mcmc=30,
     )
@@ -184,7 +184,7 @@ def _aldp() -> dict:
             # round-4 fill semantics: reference parity first, ESS-floor-gated
             # escalation (adaptive-SMC + extra MALA + more chains) only when a
             # fill measures collapsed — see the lj55 preset comment
-            transition_min_fill_ess=0.05,
+            transition_min_fill_ess=0.02,
             transition_fill_max_retries=2,
             transition_fill_extra_mcmc=30,
         ),

@@ -777,17 +777,19 @@ class EnergyTempTrainer:
                 break
             fill_attempt += 1
             base_fill = fill_cfg or self.integrator_cfg
-            # escalation = more chains + more MALA re-diversification.
-            # The adaptive-SMC trigger is NOT forced on: the oracle study
-            # (docs/transition_fill_study.json) shows ESS-triggered
-            # resampling does not beat per-step parity even at collapsed
-            # raw ESS — only configure it via transition_ess_threshold.
+            # escalation = ESS-triggered (adaptive-SMC) resampling + more
+            # MALA + more chains. The trigger is regime-dependent (oracle
+            # collapse sweep, docs/transition_fill_study.json): it REGRESSES
+            # parity at raw fill ESS >= ~0.04 but wins decisively at ~0.01
+            # (occupancy TV 0.32 vs 0.52) — and the retry only fires below
+            # the floor, i.e. exactly in the regime where it wins.
             fill_cfg = base_fill.replace(
                 post_mcmc_steps=base_fill.post_mcmc_steps
                 + cfg.transition_fill_extra_mcmc,
                 ess_resampling_threshold=(
                     base_fill.ess_resampling_threshold
                     or cfg.transition_ess_threshold
+                    or 0.3
                 ),
             )
             n_request = int(n_request * cfg.transition_fill_chain_multiplier)

@@ -138,6 +138,9 @@ POLICIES = [
     ("mit_thr0.1_mcmc30", 0.1, 30, N_TOTAL),
     ("parity_mcmc30", None, 30, N_TOTAL),
     ("escalated_2x_mcmc30", None, 30, 2 * N_TOTAL),
+    # the trainer's actual floor-gated retry shape after the beta=16 finding:
+    # ESS-trigger 0.3 + 30 MALA + 2x chains
+    ("escalated_2x_thr0.3_mcmc30", 0.3, 30, 2 * N_TOTAL),
 ]
 
 OUT_PATH = "docs/transition_fill_study.json"

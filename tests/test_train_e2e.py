@@ -214,13 +214,13 @@ def test_transition_fill_quality_floor_triggers_retry(tmp_path, monkeypatch):
     assert m["val/fill_attempts"] == 1.0
     assert m["val/fill_below_floor"] == 0.0
     assert m["val/fill_ess"] > 0.9
-    # escalation: doubled chains + extra MALA; the adaptive-SMC trigger is
-    # NOT forced on (the oracle study shows it does not beat per-step parity
-    # even at collapsed raw ESS) — only transition_ess_threshold enables it
+    # escalation: doubled chains + extra MALA + the adaptive-SMC trigger —
+    # the oracle collapse sweep (docs/transition_fill_study.json) shows the
+    # trigger wins decisively in the sub-floor regime where retries fire
     assert calls[1][0] == 2 * calls[0][0]
     esc = calls[1][1]
     assert esc.post_mcmc_steps == trainer.integrator_cfg.post_mcmc_steps + 30
-    assert esc.ess_resampling_threshold is None
+    assert esc.ess_resampling_threshold == 0.3
     # the buffer holds the escalated attempt's fill
     from pita_tpu.train.buffer import buffer_view
 
