@@ -128,18 +128,17 @@ def stats(fill, base, target, key):
     }
 
 
-# (label, ess_threshold, post_mcmc, n_total). "escalated_2x_mcmc30" is the
-# trainer's floor-gated retry shape (TrainerConfig.transition_min_fill_ess):
-# reference-parity resampling, twice the chains, +30 MALA steps — the buffer
-# the next rung actually trains on after one escalation.
+# (label, ess_threshold, post_mcmc, n_total). "escalated_2x_thr0.3_mcmc30" is
+# the trainer's floor-gated retry shape (TrainerConfig.transition_min_fill_
+# ess): ESS-trigger 0.3 + 30 extra MALA steps + doubled chains — the buffer
+# the next rung actually trains on after one escalation. The others isolate
+# each ingredient (trigger threshold, MALA alone, chains alone).
 POLICIES = [
     ("parity", None, 0, N_TOTAL),
     ("mit_thr0.3_mcmc20", 0.3, 20, N_TOTAL),
     ("mit_thr0.1_mcmc30", 0.1, 30, N_TOTAL),
     ("parity_mcmc30", None, 30, N_TOTAL),
     ("escalated_2x_mcmc30", None, 30, 2 * N_TOTAL),
-    # the trainer's actual floor-gated retry shape after the beta=16 finding:
-    # ESS-trigger 0.3 + 30 MALA + 2x chains
     ("escalated_2x_thr0.3_mcmc30", 0.3, 30, 2 * N_TOTAL),
 ]
 
