@@ -19,6 +19,12 @@ set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
 
+# Global wall deadline: the driver's end-of-round bench needs the chip free.
+# QUEUE_BUDGET_S bounds the whole queue (default 9h); long stages check
+# remaining() and bound their attempts by it.
+QUEUE_DEADLINE=$(( $(date +%s) + ${QUEUE_BUDGET_S:-32400} ))
+remaining() { echo $(( QUEUE_DEADLINE - $(date +%s) )); }
+
 wait_for_chip() {
   for i in $(seq 1 "${PROBE_ATTEMPTS:-48}"); do
     timeout 300 python -c "import jax; print(jax.devices())" \
@@ -64,15 +70,25 @@ for i in $(seq 1 "${LJ13_ATTEMPTS:-4}"); do
 done
 
 echo "[queue] stage E: LJ55 cold-rung re-anneal (floor-gated fills)"
-MAX_ATTEMPTS="${LJ55_ATTEMPTS:-12}" bash scripts/run_lj55_reanneal.sh \
+# leave >=2.5h for ALDP: cap the re-anneal at the larger of 3h and
+# (remaining - 2.5h); a timeout-killed run resumes next round from orbax
+lj55_budget=$(( $(remaining) - 9000 )); [ "$lj55_budget" -lt 10800 ] && lj55_budget=10800
+MAX_ATTEMPTS="${LJ55_ATTEMPTS:-12}" ATTEMPT_TIMEOUT="$lj55_budget" \
+  bash scripts/run_lj55_reanneal.sh \
   > /tmp/r4_lj55_reanneal.log 2>&1
 echo "[queue] stage E rc=$?"
 wait_for_chip || exit 1
 
 echo "[queue] stage F: ALDP half-budget training"
 mkdir -p runs_r4
+aldp_budget=$(( $(remaining) - 600 ))
+if [ "$aldp_budget" -lt 1800 ]; then
+  echo "[queue] no budget left for ALDP; done"; exit 0
+fi
 for i in $(seq 1 "${ALDP_ATTEMPTS:-20}"); do
-  timeout 10800 python -m pita_tpu.train_cli experiment=aldp out_dir=runs_r4 \
+  [ "$(remaining)" -lt 1800 ] && { echo "[queue] ALDP budget exhausted"; break; }
+  timeout $(( $(remaining) - 600 )) \
+    python -m pita_tpu.train_cli experiment=aldp out_dir=runs_r4 \
     ckpt_path=runs_r4/aldp_ckpt energy.data_dir=data \
     "trainer.num_epochs_per_temp=(100,100,100)" \
     trainer.num_temp_annealed_samples=25000 \

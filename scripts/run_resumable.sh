@@ -8,8 +8,13 @@
 set -u
 attempts="${MAX_ATTEMPTS:-12}"
 nap="${RETRY_SLEEP:-240}"  # tunneled workers take minutes to come back
+# optional per-attempt wall bound (0 = unbounded): a timeout-killed attempt
+# resumes from the hourly orbax checkpoint, so bounding costs <=1h of progress
+att_timeout="${ATTEMPT_TIMEOUT:-0}"
 for i in $(seq 1 "$attempts"); do
-  python -m pita_tpu.train_cli "$@" && exit 0
+  timeout "$att_timeout" python -m pita_tpu.train_cli "$@" && exit 0
+  rc=$?
+  [ "$rc" -eq 124 ] && { echo "run_resumable: attempt $i hit ATTEMPT_TIMEOUT=${att_timeout}s" >&2; exit 124; }
   echo "run_resumable: attempt $i/$attempts failed; sleeping ${nap}s" >&2
   sleep "$nap"
 done
