@@ -5,11 +5,16 @@ docs/collectives.json) with an executed-wall-clock curve: ``sharded_integrate``
 steps/s at 1/2/4/8 devices at FIXED global chain count (strong scaling), on
 the 8-virtual-device CPU mesh (`--xla_force_host_platform_device_count`).
 
-CPU cores stand in for chips, so the absolute numbers mean nothing — the
-curve's shape shows that the program actually parallelizes over the mesh
-axis (per-device chain slices shrink, collectives stay scalar-sized) rather
-than serializing on a replicated computation.  Reference contrast:
-``sde_integration.py:248-258`` all_gathers the full chain state every step.
+What this CAN and CANNOT show: the XLA:CPU backend parallelizes a SINGLE
+device's program across all host cores (intra-op threading), so a virtual
+8-device mesh shares the same cores as 1 device and the strong-scaling curve
+is ~flat BY CONSTRUCTION — flatness at ~1.0x is the *expected* healthy
+result, and the informative number is the OVERHEAD of 8-way sharding
+(speedup_vs_1dev < 1 would mean the sharded program serializes on
+collectives or replicated work). Per-step collective payload — the quantity
+that does transfer to real ICI — is measured separately from compiled HLO
+(scripts/measure_collectives.py: 1 KB/step vs the reference's ~41 KB
+every-step DDP gather, sde_integration.py:248-258).
 
 Writes docs/scaling_virtual.json.
 
@@ -112,6 +117,14 @@ def main():
     base = out["curve"]["1"]["steps_per_sec"]
     for n_dev, row in out["curve"].items():
         row["speedup_vs_1dev"] = round(row["steps_per_sec"] / base, 2)
+    out["interpretation"] = (
+        "XLA:CPU runs one device's program across all host cores, so the "
+        "virtual-mesh strong-scaling curve is ~flat by construction; the "
+        "informative number is the sharding OVERHEAD (speedup_vs_1dev ~1.0 "
+        "= the 8-way sharded program adds no serialization or collective "
+        "wall cost at fixed global work). ICI-relevant communication is "
+        "measured from compiled HLO in docs/collectives.json."
+    )
     os.makedirs("docs", exist_ok=True)
     with open("docs/scaling_virtual.json", "w") as f:
         json.dump(out, f, indent=1)
