@@ -147,6 +147,9 @@ def run_mode(run, key, x1, n_chains, n_steps, n_rep, what):
 def worker(cfg):
     """Budget-aware measurement: commits each phase to the progress file the
     moment it completes; skips optional phases when the deadline nears."""
+    from pita_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()  # lets JAX_PLATFORMS=cpu test runs bypass the tunnel
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -335,13 +338,15 @@ def worker(cfg):
         time_mode("exact")
     if e_exact is None and remaining() > 600:
         # refresh the exact-parity population in-run and persist it for
-        # future fast-path runs
+        # future fast-path runs — but only at the production problem shape
+        # (a degraded/tiny run must never become the committed gate anchor)
         e_exact, wall_ex = quality_mode("exact")
         exact_arm = "in-run"
-        try:
-            np.save(EXACT_ENERGIES_ASSET, e_exact)
-        except OSError:
-            pass
+        if n_chains_q >= 512 and n_steps_q >= 400:
+            try:
+                np.save(EXACT_ENERGIES_ASSET, e_exact)
+            except OSError:
+                pass
         prog.commit(
             event="quality", mode="exact", wall_s=round(wall_ex, 1),
             exact_arm=exact_arm,
