@@ -165,3 +165,40 @@ def test_deadline_watchdog_emits_json(tmp_path):
     parsed = json.loads(lines[0])
     assert parsed["value"] == 0.0
     assert parsed["details"]["all_attempts_failed"] is True
+
+
+@pytest.mark.slow
+def test_worker_end_to_end_tiny_cpu(tmp_path):
+    """The real worker (asset load, all modes, quality gate, MALA probe,
+    progress commits) at tiny shapes on CPU — catches IntegratorConfig
+    field drift before a chip run burns the driver's window."""
+    prog = tmp_path / "prog.jsonl"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PITA_BENCH_PROGRESS=str(prog),
+        PITA_BENCH_WORKER_DEADLINE=str(time.time() + 60),  # skip optionals
+        PITA_BENCH_WORKER=json.dumps(
+            dict(n_chains=4, n_steps_t=2, n_chains_q=4, n_steps_q=4,
+                 exact_timing=False, timing_reps=1, degraded=9)
+        ),
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    events = [json.loads(ln) for ln in prog.read_text().splitlines()]
+    kinds = [e["event"] for e in events]
+    assert "gt_spread" in kinds
+    assert any(e["event"] == "timed" and e["mode"] == "hutch_ess_k10"
+               for e in events)
+    assert any(e["event"] == "quality" for e in events)
+    assert kinds[-1] == "done"
+    # the tiny problem must never write the committed gate anchor
+    assert not os.path.exists(bench.EXACT_ENERGIES_ASSET) or (
+        len(__import__("numpy").load(bench.EXACT_ENERGIES_ASSET)) >= 512
+    )
+    # and the synthesized result from these events is parseable
+    out, ok = bench._synthesize(str(prog), time.time(), "")
+    assert out["metric"] == bench.METRIC and ok
