@@ -147,6 +147,11 @@ class TrainerConfig:
     transition_fill_max_retries: int = 2
     transition_fill_chain_multiplier: float = 2.0
     transition_fill_extra_mcmc: int = 30
+    # absolute effective-sample-count floor that escalation CAN satisfy:
+    # normalized fill ESS measures problem hardness and is ~invariant to
+    # chain count, so retries stop once ESS x chains clears this bar (or
+    # the ESS floor itself is met, or retries exhaust)
+    transition_fill_effective_floor: float = 100.0
     # test-phase annealing pairs in temperature units (al3.yaml
     # temps_to_anneal_test); None = consecutive ladder pairs
     temps_to_anneal_test: Optional[tuple] = None
@@ -772,6 +777,7 @@ class EnergyTempTrainer:
                 best = (eff, fill_ess_v, res, res_nores, energies, forces)
             if (
                 fill_ess_v >= fill_floor
+                or eff >= cfg.transition_fill_effective_floor
                 or fill_attempt >= cfg.transition_fill_max_retries
             ):
                 break
@@ -803,7 +809,10 @@ class EnergyTempTrainer:
             metrics[f"{prefix}/fill_ess"] = fill_ess_v
             metrics[f"{prefix}/fill_effective_samples"] = eff
             metrics[f"{prefix}/fill_attempts"] = float(fill_attempt)
-            metrics[f"{prefix}/fill_below_floor"] = float(fill_ess_v < fill_floor)
+            metrics[f"{prefix}/fill_below_floor"] = float(
+                fill_ess_v < fill_floor
+                and eff < cfg.transition_fill_effective_floor
+            )
         samples = res.samples
         if anneal_to_lower:
             # |E| mask then fill the next rung's buffer (:881-901)

@@ -225,3 +225,52 @@ def test_transition_fill_quality_floor_triggers_retry(tmp_path, monkeypatch):
     from pita_tpu.train.buffer import buffer_view
 
     assert int(buffer_view(trainer.buffers, 1).size) >= calls[1][0]
+
+
+def test_transition_fill_effective_count_floor_stops_retries(tmp_path,
+                                                             monkeypatch):
+    """When the problem's normalized ESS stays collapsed (it is ~invariant
+    to chain count), retries must stop once ESS x chains clears the
+    effective-sample-count floor — not exhaust max_retries pointlessly."""
+    import jax
+    import jax.numpy as jnp
+
+    from pita_tpu.sampler.integrator import IntegrateResult
+
+    trainer = _make_trainer(tmp_path, transition_min_fill_ess=0.05,
+                            transition_fill_max_retries=5,
+                            transition_fill_chain_multiplier=2.0,
+                            transition_fill_effective_floor=4.0)
+    trainer.populate_initial_buffer()
+    steps = trainer.integrator_cfg.num_integration_steps
+    calls = []
+
+    def fake_generate(target, num_samples, return_logweights=False,
+                      integrator_cfg=None, **kw):
+        calls.append(num_samples)
+        n_diag = min(num_samples, 512)
+        # collapsed at a fixed FRACTION (~1%) of chains, like a real fill:
+        # normalized ESS stays ~0.01 but ESS x chains grows with the retry
+        k = max(1, n_diag // 100)
+        lw = jnp.zeros((steps + 1, n_diag)).at[:, :k].set(50.0)
+        res = IntegrateResult(
+            samples=jax.random.normal(jax.random.PRNGKey(len(calls)),
+                                      (num_samples, 2)),
+            logweights=jnp.zeros((steps + 1, num_samples)),
+            num_unique=jnp.full((steps + 1,), n_diag),
+            term_stats=None,
+            acceptance_rates=jnp.zeros((0,)),
+        )
+        return (res, res._replace(samples=res.samples[:n_diag],
+                                  logweights=lw)) if return_logweights else res
+
+    monkeypatch.setattr(trainer, "generate_samples", fake_generate)
+    trainer.epoch = trainer.update_temp_epoch[0] - 1
+    m = trainer.evaluate(prefix="val")
+    # normalized ESS stays ~0.01 (below the 0.05 floor) but the effective
+    # count grows with chains: ~2 at 256 -> ~5 at 512 >= floor 4 -> stop
+    # after ONE retry, not five
+    assert calls == [256, 512]
+    assert m["val/fill_attempts"] == 1.0
+    assert m["val/fill_below_floor"] == 0.0
+    assert m["val/fill_effective_samples"] >= 4.0
