@@ -308,6 +308,10 @@ def worker(cfg):
     }
     if e_exact is not None:
         gate["exact_vs_hutch_ess_k10_energy_w2"] = round(w2(e_exact, e_head), 4)
+        # anchors the GT arm: a candidate must land no farther from GT than
+        # the exact-parity pipeline itself (+0.25 sigma), not merely within
+        # the loose 2-sigma band (VERDICT r3 weak #3)
+        gate["exact_vs_groundtruth_energy_w2"] = round(w2(e_exact, e_data), 4)
     prog.commit(event="quality", mode="hutch_ess_k10", wall_s=round(wall_head, 1),
                 exact_arm=exact_arm, **gate)
 
@@ -403,7 +407,14 @@ def _synthesize(progress_path, t0, note):
         details["mala30_wall_s"] = mala["mala30_wall_s"]
         details["mala_chains"] = mala["n_chains"]
 
-    # gate evaluation (two-sided when the exact arm is available)
+    # gate evaluation (two-sided when the exact arm is available). The GT
+    # bound tightens from 2*sigma to exact's own GT distance + 0.25*sigma
+    # when the exact-parity anchor is known — certifying "no worse than the
+    # reference-parity pipeline" rather than a loose band
+    exact_gt = next(
+        (q["exact_vs_groundtruth_energy_w2"] for q in quality.values()
+         if "exact_vs_groundtruth_energy_w2" in q), None,
+    )
     passing = []
     for mode, q in quality.items():
         details.update(
@@ -414,12 +425,22 @@ def _synthesize(progress_path, t0, note):
             continue
         gt_key = f"{mode}_vs_groundtruth_energy_w2"
         ex_key = f"exact_vs_{mode}_energy_w2"
-        gt_ok = gt_key in q and q[gt_key] < 2.0 * spread
+        gt_bound = 2.0 * spread
+        if exact_gt is not None:
+            gt_bound = min(gt_bound, exact_gt + 0.25 * spread)
+        gt_ok = gt_key in q and q[gt_key] < gt_bound
         ex_ok = (ex_key not in q) or (q[ex_key] < 0.25 * spread)
         if mode == "exact":
             ex_ok = True
+            gt_ok = "exact_vs_groundtruth_energy_w2" in q and (
+                q["exact_vs_groundtruth_energy_w2"] < 2.0 * spread
+            )
         if gt_ok and ex_ok:
             passing.append(mode)
+    if exact_gt is not None:
+        details["gate_gt_bound"] = round(
+            min(2.0 * spread, exact_gt + 0.25 * spread), 4
+        )
     details["modes_passing_gate"] = passing
 
     candidates = [m for m in passing if m in timed and m != "exact"]
