@@ -140,3 +140,24 @@ def test_hutchinson_ess_k10_matches_exact_quality(rng):
     assert 0.5 * np.abs(occ_gen - occ_ref).sum() < 0.3
     w2_h = wasserstein2_exact(np.asarray(res_h.samples)[:1024], np.asarray(ref)[:1024])
     assert w2_h < 12.0, f"hutch+ESS+K10 W2: {w2_h}"
+
+
+@pytest.mark.slow
+def test_hutchpp_ess_matches_exact_quality(rng):
+    """Hutch++ variance-reduced trace (ops/divergence.py:hutchpp_divergence)
+    through the full annealed pipeline with ESS-triggered resampling + MALA:
+    same tempered-target quality bars as the plain-Hutchinson fast modes
+    (PERF.md roadmap item, oracle-validated like the others)."""
+    base = GMM40()
+    res_h, target = _run_annealed(
+        rng, "hutchpp", probes=2, ess_threshold=0.5, post_mcmc=30
+    )
+    ref = target.sample(jax.random.fold_in(rng, 9), res_h.samples.shape[0])
+    var_gen, occ_gen = _tempered_stats(res_h.samples, target, base)
+    var_ref, occ_ref = _tempered_stats(ref, target, base)
+    np.testing.assert_allclose(var_gen, var_ref, rtol=0.1)
+    assert 0.5 * np.abs(occ_gen - occ_ref).sum() < 0.3
+    w2_h = wasserstein2_exact(
+        np.asarray(res_h.samples)[:1024], np.asarray(ref)[:1024]
+    )
+    assert w2_h < 12.0, f"hutch++ W2: {w2_h}"
