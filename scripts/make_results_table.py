@@ -32,18 +32,26 @@ def table_for(run_dir):
     # validation metrics per rung: group by val/lower_temp value over time
     # data_energy_std is the ground-truth energy spread at the annealed-to
     # temperature — the scale anchor every W2 must be read against
-    out.append("| eval epoch | anneal to T | energy_w2 | energy_w2_cropped | dist_w2 | ESS | GT energy σ |")
-    out.append("|---|---|---|---|---|---|---|")
+    out.append("| eval epoch | anneal to T | energy_w2 | energy_w2_cropped | dist_w2 | ESS | GT energy σ | fill ESS (attempts) |")
+    out.append("|---|---|---|---|---|---|---|---|")
     for row in rows:
         if row.get("val/energy_w2") not in ("", None):
             def g(k):
                 v = row.get(k, "")
                 return f"{float(v):.4g}" if v not in ("", None) else "—"
 
+            # transition rows record the fill-quality floor outcome
+            # (VERDICT r3 next #2: fill-ESS per transition)
+            fill = "—"
+            if row.get("val/fill_ess") not in ("", None):
+                fill = (
+                    f"{float(row['val/fill_ess']):.4g} "
+                    f"({int(float(row.get('val/fill_attempts', 0) or 0))})"
+                )
             out.append(
                 f"| {row['step']} | {g('val/lower_temp')} | {g('val/energy_w2')} "
                 f"| {g('val/energy_w2_cropped')} | {g('val/dist_w2')} | {g('val/ess')} "
-                f"| {g('val/data_energy_std')} |"
+                f"| {g('val/data_energy_std')} | {fill} |"
             )
     test_keys = sorted({k.rsplit("/", 1)[0] for k in keys if k.startswith("test/")})
     if test_keys:
