@@ -71,8 +71,14 @@ done
 
 echo "[queue] stage E: LJ55 cold-rung re-anneal (floor-gated fills)"
 # leave >=2.5h for ALDP: cap the re-anneal at the larger of 3h and
-# (remaining - 2.5h); a timeout-killed run resumes next round from orbax
-lj55_budget=$(( $(remaining) - 9000 )); [ "$lj55_budget" -lt 10800 ] && lj55_budget=10800
+# (remaining - 2.5h) — but NEVER past the queue deadline (a late-returning
+# chip must not let stage E collide with the driver's end-of-round bench)
+rem=$(remaining)
+if [ "$rem" -lt 3600 ]; then
+  echo "[queue] <1h of budget left; skipping training stages"; exit 0
+fi
+lj55_budget=$(( rem - 9000 )); [ "$lj55_budget" -lt 10800 ] && lj55_budget=10800
+[ "$lj55_budget" -gt $(( rem - 600 )) ] && lj55_budget=$(( rem - 600 ))
 MAX_ATTEMPTS="${LJ55_ATTEMPTS:-12}" ATTEMPT_TIMEOUT="$lj55_budget" \
   bash scripts/run_lj55_reanneal.sh \
   > /tmp/r4_lj55_reanneal.log 2>&1
