@@ -26,7 +26,14 @@ QUEUE_DEADLINE=$(( $(date +%s) + ${QUEUE_BUDGET_S:-32400} ))
 remaining() { echo $(( QUEUE_DEADLINE - $(date +%s) )); }
 
 wait_for_chip() {
+  # Stop probing once the queue budget is gone: a chip that revives past the
+  # deadline must NOT trigger stages that would collide with the driver's
+  # end-of-round bench.
   for i in $(seq 1 "${PROBE_ATTEMPTS:-48}"); do
+    if [ "$(remaining)" -lt 900 ]; then
+      echo "[queue] budget exhausted while waiting for chip; stopping" >&2
+      return 1
+    fi
     timeout 300 python -c "import jax; print(jax.devices())" \
       >> /tmp/r4_probe.log 2>&1 && return 0
     echo "[queue] chip probe $i failed; sleeping 240s" >&2
@@ -36,30 +43,44 @@ wait_for_chip() {
   return 1
 }
 
+# cap_timeout <cap>: the smaller of <cap> and (remaining - 600s driver margin)
+cap_timeout() {
+  local cap=$1 rem
+  rem=$(( $(remaining) - 600 ))
+  [ "$rem" -lt "$cap" ] && cap=$rem
+  echo "$cap"
+}
+
 wait_for_chip || exit 1
 
 echo "[queue] stage A: bench long run (exact-population asset)"
-if [ ! -f pita_tpu/assets/bench_lj55_exact_energies.npy ]; then
-  PITA_BENCH_DEADLINE_S=2400 timeout 2600 python bench.py \
+if [ ! -f pita_tpu/assets/bench_lj55_exact_energies.npy ] && [ "$(remaining)" -ge 1500 ]; then
+  a_to=$(cap_timeout 2600)
+  PITA_BENCH_DEADLINE_S=$(( a_to - 200 )) timeout "$a_to" python bench.py \
     > docs/bench_r4_longrun.json 2> /tmp/r4_bench_long.log
   echo "[queue] stage A rc=$? asset=$(ls -la pita_tpu/assets/bench_lj55_exact_energies.npy 2>/dev/null || echo MISSING)"
 fi
 wait_for_chip || exit 1
 
 echo "[queue] stage B: bench fast-path run (driver-window validation)"
-timeout 600 python bench.py > docs/bench_r4_fastpath.json 2> /tmp/r4_bench_fast.log
-echo "[queue] stage B rc=$?"
+if [ "$(remaining)" -ge 1200 ]; then
+  timeout 600 python bench.py > docs/bench_r4_fastpath.json 2> /tmp/r4_bench_fast.log
+  echo "[queue] stage B rc=$?"
+fi
 wait_for_chip || exit 1
 
 echo "[queue] stage C: G-op kernel on-chip validation"
-PITA_TPU_ENABLE_EXPERIMENTAL_PALLAS=1 timeout 3600 \
-  python scripts/validate_g_op_onchip.py > /tmp/r4_g_op.log 2>&1
-echo "[queue] stage C rc=$? ($(tail -c 300 docs/g_op_onchip.json 2>/dev/null))"
+if [ "$(remaining)" -ge 1500 ]; then
+  PITA_TPU_ENABLE_EXPERIMENTAL_PALLAS=1 timeout "$(cap_timeout 3600)" \
+    python scripts/validate_g_op_onchip.py > /tmp/r4_g_op.log 2>&1
+  echo "[queue] stage C rc=$? ($(tail -c 300 docs/g_op_onchip.json 2>/dev/null))"
+fi
 wait_for_chip || exit 1
 
 echo "[queue] stage D: LJ13 cold-pair test phase"
 for i in $(seq 1 "${LJ13_ATTEMPTS:-4}"); do
-  timeout 7200 python -m pita_tpu.eval_cli experiment=lj13 \
+  [ "$(remaining)" -lt 1800 ] && { echo "[queue] no budget for lj13 test"; break; }
+  timeout "$(cap_timeout 7200)" python -m pita_tpu.eval_cli experiment=lj13 \
     ckpt_path=runs_r3/lj13_ckpt out_dir=runs_r4/lj13_test \
     "trainer.temps_to_anneal_test=((1.5,1.2),(1.2,1.0))" \
     trainer.make_plots=true \
