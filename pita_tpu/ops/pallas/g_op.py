@@ -70,11 +70,15 @@ def _kernel(sp1_ref, sp2_ref, attm_ref, satq_ref, mpre_ref, w2_ref, bv_ref,
         t1 = (attm[:, None] * sp1)[:, :, None] * w2[None] * sp2[:, None, :]
         t2 = satq[:, :, None] * mpre[:, None, :]
         g_row = t1 + t2  # (Np, F_in, F_out)
-        # contraction index is (m, f_in): transpose to (F_out, Np·F_in)
-        g_mat = jnp.transpose(g_row, (2, 0, 1)).reshape(F, Np * F)
+        # contraction index is (m, f_in). Collapse the two LEADING dims —
+        # a layout-preserving shape cast (minor/lane dim F_out untouched;
+        # Mosaic rejects the transposed form (F, Np·F), which would merge
+        # axes into lanes: "infer-vector-layout: unsupported shape cast",
+        # observed on v5e) — and contract over the leading axis instead.
+        g_mat = g_row.reshape(Np * F, F)  # (Np·F_in, F_out)
         acc = jax.lax.dot_general(
             g_mat.astype(jnp.bfloat16), bv,
-            (((1,), (0,)), ((), ())),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (F_out, T)
         out_ref[0, r * F:(r + 1) * F, :] = acc
@@ -100,7 +104,9 @@ def g_operator_contract(sp1, sp2, att_mask, satq, m_pre, w2, bv,
     """
     B, N, _, F = sp1.shape
     T = bv.shape[0]
-    RB = rows_per_block
+    # TPU block shapes need the sublane (second-minor) dim divisible by 8;
+    # the receiver-rows axis is the sublane dim of the (1, RB, Np) att block.
+    RB = _round_up(rows_per_block, 8)
     Np = _round_up(N, 16)
     Nr = _round_up(N, RB)
     pad_rows = Nr - N
