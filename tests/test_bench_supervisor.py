@@ -57,6 +57,45 @@ def test_synthesize_full_run(tmp_path):
     assert out["vs_baseline"] == round(out["value"] / 3400.0, 3)
 
 
+def test_synthesize_keeps_best_rung_per_mode(tmp_path):
+    """The worker may time a mode at several chain counts (rung sweep); the
+    supervisor reports the max cps per mode and records the winning rung."""
+    spread = 14.6
+    p = _write_progress(tmp_path, [
+        {"event": "gt_spread", "spread": spread},
+        {"event": "timed", "mode": "hutch_ess_k10", "cps": 34900.0,
+         "n_chains": 2048, "n_steps": 100},
+        {"event": "timed", "mode": "hutch_ess_k10", "cps": 46600.0,
+         "n_chains": 512, "n_steps": 100},
+        {"event": "quality", "mode": "hutch_ess_k10", "wall_s": 30.0,
+         "exact_arm": "committed-asset",
+         "hutch_ess_k10_vs_groundtruth_energy_w2": 20.9,
+         "exact_vs_hutch_ess_k10_energy_w2": 1.9},
+        {"event": "mala", "mala30_wall_s": 0.2, "n_chains": 2048},
+    ])
+    out, ok = bench._synthesize(p, time.time(), "")
+    assert ok
+    d = out["details"]
+    assert d["headline_raw_rate"] == 46600.0
+    assert d["headline_chains"] == 512
+    assert d["hutch_ess_k10"] == 46600.0
+    # order must not matter: a slower later rung cannot overwrite the best
+    p2 = _write_progress(tmp_path, [
+        {"event": "gt_spread", "spread": spread},
+        {"event": "timed", "mode": "hutch_ess_k10", "cps": 46600.0,
+         "n_chains": 512, "n_steps": 100},
+        {"event": "timed", "mode": "hutch_ess_k10", "cps": 34900.0,
+         "n_chains": 2048, "n_steps": 100},
+        {"event": "quality", "mode": "hutch_ess_k10", "wall_s": 30.0,
+         "exact_arm": "committed-asset",
+         "hutch_ess_k10_vs_groundtruth_energy_w2": 20.9,
+         "exact_vs_hutch_ess_k10_energy_w2": 1.9},
+    ])
+    out2, _ = bench._synthesize(p2, time.time(), "")
+    assert out2["details"]["headline_raw_rate"] == 46600.0
+    assert out2["details"]["headline_chains"] == 512
+
+
 def test_synthesize_gate_failure_falls_back_to_slowest(tmp_path):
     """A fast mode that fails the gate must not become the headline."""
     p = _write_progress(tmp_path, [
