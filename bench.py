@@ -63,6 +63,19 @@ EXACT_ENERGIES_ASSET = os.path.join(
     _HERE, "pita_tpu", "assets", "bench_lj55_exact_energies.npy"
 )
 LAST_COMMITTED = os.path.join(_HERE, "docs", "bench_last_measured.json")
+G_OP_ONCHIP = os.path.join(_HERE, "docs", "g_op_onchip.json")
+
+
+def _g_kernel_validated():
+    """True when the G-operator kernel passed BOTH on-chip checks (operator
+    parity and the resampling-off e2e wiring check) — the only condition
+    under which bench will compile experimental Pallas on the shared chip."""
+    try:
+        with open(G_OP_ONCHIP) as f:
+            ph = json.load(f)["phases"]
+        return bool(ph["kernel_parity"]["ok"] and ph["e2e_parity"]["ok"])
+    except (OSError, KeyError, TypeError, json.JSONDecodeError):
+        return False
 DEADLINE_S = float(os.environ.get("PITA_BENCH_DEADLINE_S", "480"))
 METRIC = "lj55_sampler_chain_steps_per_sec_per_chip"
 
@@ -220,6 +233,13 @@ def worker(cfg):
         "quadrature_k10": dict(divergence_update_interval=10),
         "exact": dict(),
     }
+    # exact-divergence semantics via the G-operator Pallas kernel — only
+    # after the kernel passed BOTH on-chip validations (operator parity
+    # 2e-4 + resampling-off e2e wiring, docs/g_op_onchip.json)
+    gop_ok = _g_kernel_validated()
+    if gop_ok:
+        os.environ["PITA_TPU_ENABLE_EXPERIMENTAL_PALLAS"] = "1"
+        modes["exact_gop"] = dict(divergence_g_kernel=True, g_rows_per_block=8)
 
     scale = float(jnp.sqrt(sched.h(jnp.asarray(1.0)) / gamma_f))
 
@@ -350,14 +370,20 @@ def worker(cfg):
         time_mode("hutch_ess")
     if remaining() > 150:
         time_mode("quadrature_k10")
+    if gop_ok and remaining() > 180:
+        time_mode("exact_gop")
     if remaining() > 240 and cfg.get("exact_timing", True):
         time_mode("exact")
-    if e_exact is None and remaining() > 600:
+    exact_impl = "exact_gop" if gop_ok else "exact"
+    if e_exact is None and remaining() > (300 if gop_ok else 600):
         # refresh the exact-parity population in-run and persist it for
         # future fast-path runs — but only at the production problem shape
-        # (a degraded/tiny run must never become the committed gate anchor)
-        e_exact, wall_ex = quality_mode("exact")
-        exact_arm = "in-run"
+        # (a degraded/tiny run must never become the committed gate anchor).
+        # Uses the G-kernel implementation of the exact divergence when it is
+        # on-chip validated: same semantics (operator parity 2e-4), ~2.5x
+        # cheaper — the XLA path has been faulting/overrunning at full shapes.
+        e_exact, wall_ex = quality_mode(exact_impl)
+        exact_arm = "in-run" if exact_impl == "exact" else "in-run-g-kernel"
         if n_chains_q >= 512 and n_steps_q >= 400:
             try:
                 np.save(EXACT_ENERGIES_ASSET, e_exact)
