@@ -236,7 +236,7 @@ def worker(cfg):
     # exact-divergence semantics via the G-operator Pallas kernel — only
     # after the kernel passed BOTH on-chip validations (operator parity
     # 2e-4 + resampling-off e2e wiring, docs/g_op_onchip.json)
-    gop_ok = _g_kernel_validated()
+    gop_ok = _g_kernel_validated() and jax.default_backend() != "cpu"
     if gop_ok:
         os.environ["PITA_TPU_ENABLE_EXPERIMENTAL_PALLAS"] = "1"
         modes["exact_gop"] = dict(divergence_g_kernel=True, g_rows_per_block=8)
