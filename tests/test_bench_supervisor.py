@@ -278,3 +278,32 @@ def test_gate_gt_bound_tightens_with_exact_anchor(tmp_path):
     out2, _ = bench._synthesize(p2, time.time(), "")
     assert out2["details"]["headline_mode"] == "hutch_ess_k10"
     assert out2["details"]["quality_gate_ok"] is True
+
+
+def test_g_kernel_validated_requires_both_onchip_checks(tmp_path, monkeypatch):
+    """The exact_gop bench arm may only compile experimental Pallas on the
+    shared chip after BOTH on-chip validations passed (operator parity AND
+    the resampling-off e2e wiring check, docs/g_op_onchip.json)."""
+    art = tmp_path / "g_op_onchip.json"
+    monkeypatch.setattr(bench, "G_OP_ONCHIP", str(art))
+
+    assert bench._g_kernel_validated() is False  # artifact absent
+
+    def write(kernel_ok, e2e_ok, extra=None):
+        d = {"phases": {"kernel_parity": {"ok": kernel_ok},
+                        "e2e_parity": {"ok": e2e_ok}}}
+        if extra is not None:
+            d["phases"].update(extra)
+        art.write_text(json.dumps(d))
+
+    write(True, False)
+    assert bench._g_kernel_validated() is False
+    write(False, True)
+    assert bench._g_kernel_validated() is False
+    write(True, True)
+    assert bench._g_kernel_validated() is True
+
+    art.write_text("{not json")
+    assert bench._g_kernel_validated() is False
+    art.write_text(json.dumps({"phases": {"kernel_parity": {"ok": True}}}))
+    assert bench._g_kernel_validated() is False  # e2e phase missing
