@@ -429,11 +429,18 @@ def _synthesize(progress_path, t0, note):
         pass
 
     # best rung per mode (the worker may time a mode at several chain
-    # counts — the metric is per-chip throughput capability)
-    timed, timed_chains = {}, {}
+    # counts — the metric is per-chip throughput capability). Every rung's
+    # rate is ALSO reported as "<mode>@<chains>" so the best-rung-per-mode
+    # choice is auditable inside this artifact (VERDICT r4 next #6: the
+    # production configs run 1024–2048-chain micro-batches, and a reader
+    # must be able to see the spread, not just the winning rung).
+    timed, timed_chains, per_rung = {}, {}, {}
     for e in events:
         if e.get("event") != "timed":
             continue
+        if e.get("n_chains") is not None:
+            key = f"{e['mode']}@{e['n_chains']}"
+            per_rung[key] = max(per_rung.get(key, -1.0), e["cps"])
         if e["cps"] > timed.get(e["mode"], -1.0):
             timed[e["mode"]] = e["cps"]
             timed_chains[e["mode"]] = e.get("n_chains")
@@ -444,6 +451,7 @@ def _synthesize(progress_path, t0, note):
     mala = next((e for e in events if e.get("event") == "mala"), None)
 
     details = {k: v for k, v in timed.items()}
+    details.update(per_rung)
     details["wall_s"] = round(time.time() - t0, 1)
     if note:
         details["note"] = note

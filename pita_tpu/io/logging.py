@@ -16,7 +16,7 @@ class CSVLogger:
                  resume: bool = False):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, filename)
-        self._fieldnames = ["step"]
+        self._fieldnames = ["step", "launch"]
         self._rows = []
         # a resumed run (fresh process + orbax restore, scripts/run_resumable.sh)
         # must append to the existing history; a fresh run pointed at a reused
@@ -27,15 +27,23 @@ class CSVLogger:
                     reader = csv.DictReader(f)
                     if reader.fieldnames:
                         self._fieldnames = list(reader.fieldnames)
+                        if "launch" not in self._fieldnames:
+                            self._fieldnames.insert(1, "launch")
                         self._rows = [
                             {k: v for k, v in row.items() if v not in (None, "")}
                             for row in reader
                         ]
             except (OSError, csv.Error):
                 pass
+        # per-process launch id (VERDICT r4 next #7): a resumed/repeated
+        # process appends rows with a NEW id, so duplicated epochs from
+        # repeated cold launches can never masquerade as extra progress
+        prev = [int(float(r["launch"])) for r in self._rows if r.get("launch")]
+        self.launch_id = (max(prev) + 1) if prev else (1 if self._rows else 0)
 
     def log_metrics(self, metrics: dict, step: int = 0):
-        row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        row = {"step": step, "launch": self.launch_id,
+               **{k: float(v) for k, v in metrics.items()}}
         self._rows.append(row)
         for k in row:
             if k not in self._fieldnames:

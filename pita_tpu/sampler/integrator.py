@@ -182,14 +182,30 @@ def integrate_sde(
     beta,
     cfg: IntegratorConfig,
     resampling_interval: Optional[int] = None,
+    compile_only: bool = False,
 ) -> IntegrateResult:
     """Integrate the annealed reverse SDE from prior samples ``x1``.
 
     Mirrors ``WeightedSDEIntegrator.integrate_sde`` (sde_integration.py:98-212)
     as a pure jittable function. ``beta`` may be a traced scalar.
+
+    ``compile_only=True`` (segmented mode only) AOT-compiles the segment
+    program — the expensive executable, >5.5 min cold for peptide eval shapes
+    (NOTES round 4) — without running any integration step, then returns
+    ``None``. Dispatched ahead of a training window in a sacrificial process
+    it fills the persistent compilation cache so the real eval hits it warm.
     """
     if resampling_interval is None:
         resampling_interval = cfg.resampling_interval
+    if compile_only and not (
+        cfg.segment_size is not None
+        and cfg.segment_size < cfg.num_integration_steps
+    ):
+        raise ValueError(
+            "compile_only requires segmented mode (segment_size < steps); "
+            "non-segmented programs are AOT-compiled by the caller's jit "
+            "(Trainer.prewarm_eval_compiles)"
+        )
 
     B, D = x1.shape
     n = cfg.num_integration_steps
@@ -383,6 +399,19 @@ def integrate_sde(
             if len(_SEGMENT_CACHE) > 64:
                 _prune_dead(_SEGMENT_CACHE)
             _SEGMENT_CACHE[cache_key] = run_segment
+
+        if compile_only:
+            # the per-step flag arrays are traced scan inputs, so one segment
+            # program serves every (resampling_interval, n) at this (cfg, B, D)
+            # — lowering with abstract xs compiles exactly the executable the
+            # real run will request (dt/times enter as constants from the SAME
+            # cfg.num_integration_steps, so the HLO matches bit-for-bit)
+            xs_abstract = jax.tree.map(
+                lambda arr: jax.ShapeDtypeStruct((seg,) + arr.shape[1:], arr.dtype),
+                xs,
+            )
+            run_segment.lower(init, xs_abstract).compile()
+            return None
 
         carry = init
         lw_parts, nu_parts, stat_parts = [], [], []

@@ -79,6 +79,86 @@ def _retry_on_runtime_error(fn, retries: int = 3):
             time.sleep(wait)
 
 
+def fill_with_quality_floor(
+    sample_fn,
+    integrator_cfg,
+    trainer_cfg,
+    n_request: int,
+    fill_floor=None,
+    fill_cfg=None,
+    retry=_retry_on_runtime_error,
+):
+    """Transition buffer fill with the measured-quality floor + escalation.
+
+    ``sample_fn(n_request, fill_cfg) -> (res, res_nores, energies, forces)``
+    is the sampling closure (single-device in Trainer.evaluate, mesh-sharded
+    in the multichip dryrun — the policy is identical either way).
+
+    Fills run at reference parity first; only a fill whose measured raw ESS
+    (from the no-resampling diagnostic pass) is below ``fill_floor`` retries
+    with escalated settings — ESS-triggered (adaptive-SMC) resampling + more
+    MALA + more chains. The trigger is regime-dependent (oracle collapse
+    sweep, docs/transition_fill_study.json): it REGRESSES parity at raw fill
+    ESS >= ~0.04 but wins decisively at ~0.01 (occupancy TV 0.32 vs 0.52) —
+    and the retry only fires below the floor, i.e. exactly in the regime
+    where it wins. The best attempt by effective sample count wins.
+
+    Returns ``((res, res_nores, energies, forces), fill_info, fill_cfg)``
+    where ``fill_info`` is {} when no floor is active.
+    """
+    cfg = trainer_cfg
+    fill_attempt, fill_ess_v, best = 0, None, None
+    while True:
+        out = retry(lambda n=n_request, f=fill_cfg: sample_fn(n, f))
+        res, res_nores, energies, forces = out
+        if fill_floor is None:
+            return out, {}, fill_cfg
+        used_cfg = fill_cfg or integrator_cfg
+        lw_f = min(
+            used_cfg.end_resampling_step, used_cfg.num_integration_steps
+        ) - 1
+        fill_ess_v = float(
+            effective_sample_size(res_nores.logweights[lw_f], normalize=True)
+        )
+        eff = fill_ess_v * res.samples.shape[0]
+        if best is None or eff > best[0]:
+            best = (eff, fill_ess_v, out)
+        if (
+            fill_ess_v >= fill_floor
+            or eff >= cfg.transition_fill_effective_floor
+            or fill_attempt >= cfg.transition_fill_max_retries
+        ):
+            break
+        fill_attempt += 1
+        base_fill = fill_cfg or integrator_cfg
+        fill_cfg = base_fill.replace(
+            post_mcmc_steps=base_fill.post_mcmc_steps
+            + cfg.transition_fill_extra_mcmc,
+            ess_resampling_threshold=(
+                base_fill.ess_resampling_threshold
+                or cfg.transition_ess_threshold
+                or 0.3
+            ),
+        )
+        n_request = int(n_request * cfg.transition_fill_chain_multiplier)
+        print(
+            f"[trainer] transition fill ESS {fill_ess_v:.4f} below floor "
+            f"{fill_floor}; retry {fill_attempt} with {n_request} chains, "
+            f"{fill_cfg.post_mcmc_steps} MALA steps"
+        )
+    eff, fill_ess_v, out = best
+    fill_info = {
+        "fill_ess": fill_ess_v,
+        "fill_effective_samples": eff,
+        "fill_attempts": float(fill_attempt),
+        "fill_below_floor": float(
+            fill_ess_v < fill_floor
+            and eff < cfg.transition_fill_effective_floor
+        ),
+    }
+    return out, fill_info, fill_cfg
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
     """Ladder/loop configuration (configs/model/energytemp.yaml + experiment overlays)."""
@@ -646,6 +726,118 @@ class EnergyTempTrainer:
             key, x1, ps, pe, jnp.asarray(beta, jnp.float32)
         )
 
+    def prewarm_eval_compiles(self, include_transitions: bool = True) -> dict:
+        """AOT-compile the integrate programs the coming evals will need.
+
+        The ALDP epoch-0 val-eval integrate compile measured >5.5 min on the
+        tunneled chip (NOTES round 4) — longer than some sessions' whole
+        window, which forced round-4 ALDP to run train-only. Running this in
+        a sacrificial process *before* the training window fills the
+        persistent compilation cache (``JAX_COMPILATION_CACHE_DIR``), so the
+        training process's first eval hits warm cache; a wedged or killed
+        compile costs only the sacrificial process. (VERDICT r4 next #2a.)
+
+        Compiles, per rung transition from the active rung down (plus the
+        plain val eval at the active rung): the segmented integrate program at
+        the island chain count and the 512-chain no-resampling diagnostic
+        shape, then executes one tiny-cost MALA refinement at the same shapes
+        so the post-processing executables (eager scan programs) are cached
+        too. Returns {label: seconds}.
+        """
+        cfg = self.cfg
+        cap = cfg.max_chains_per_integrate
+        timings = {}
+        deadline = None
+        budget = os.environ.get("PITA_PREWARM_BUDGET_S")
+        if budget:
+            deadline = time.time() + float(budget)
+
+        def islands_chain_count(n_request):
+            return min(n_request, cap) if cap else n_request
+
+        # chronological order — a deadline-truncated prewarm still covers the
+        # programs the run needs FIRST (plain val at the active rung, then
+        # that rung's transition fill, then the next rung, ...)
+        idx = self.active_temp_index()
+        combos = []
+        for i in range(idx, self.n_temps):
+            beta_i = float(self.inverse_temperatures[i])
+            combos.append((
+                f"val@T={self.temperatures[i]:g}", self.targets[i], 1.0,
+                beta_i, islands_chain_count(cfg.num_eval_samples),
+            ))
+            combos.append((
+                f"val_diag@T={self.temperatures[i]:g}", self.targets[i], 1.0,
+                beta_i, min(cfg.num_eval_samples, 512),
+            ))
+            if not include_transitions or i >= self.n_temps - 1:
+                continue
+            lo = i + 1
+            if cfg.skip_temp:
+                lo = min(lo + cfg.num_skip_temps, self.n_temps - 1)
+            af = float(self.inverse_temperatures[lo] / self.inverse_temperatures[i])
+            for tag, B in (
+                ("fill", islands_chain_count(cfg.num_temp_annealed_samples)),
+                ("fill_diag", min(cfg.num_temp_annealed_samples, 512)),
+            ):
+                combos.append((
+                    f"{tag}@T={self.temperatures[i]:g}->"
+                    f"{self.temperatures[lo]:g}",
+                    self.targets[lo], af, beta_i, B,
+                ))
+
+        ps, pe = self._eval_params()
+        icfg = self.integrator_cfg
+        segmented = (
+            icfg.segment_size is not None
+            and icfg.segment_size < icfg.num_integration_steps
+        )
+        for label, target, af, beta, B in combos:
+            if deadline is not None and time.time() > deadline:
+                print(f"[prewarm] budget exhausted before {label}; stopping")
+                timings["truncated_at"] = label
+                break
+            anneal = self.make_annealing(af)
+            x1 = jnp.zeros((B, self.dim), jnp.float32)
+            key = jax.random.PRNGKey(0)
+            t0 = time.perf_counter()
+            if segmented:
+                integrate_sde(
+                    key, x1, self.score, self.energy, ps, pe,
+                    self.noise_schedule, anneal, target,
+                    jnp.asarray(beta, jnp.float32), icfg, compile_only=True,
+                )
+            else:
+                # mirror _integrate's jit so the in-process cache (and the
+                # persistent cache) hold the exact executable evaluate() asks for
+                def fn(key, x1, ps, pe, beta, anneal=anneal, target=target):
+                    return integrate_sde(
+                        key, x1, self.score, self.energy, ps, pe,
+                        self.noise_schedule, anneal, target, beta, icfg,
+                    )
+                jax.jit(fn).lower(
+                    key, x1, ps, pe, jnp.asarray(beta, jnp.float32)
+                ).compile()
+            timings[label] = round(time.perf_counter() - t0, 1)
+            print(f"[prewarm] {label} (B={B}): {timings[label]}s", flush=True)
+            if segmented and icfg.post_mcmc_steps > 0:
+                # post-processing runs outside the segment jit; one real call
+                # at the eval shape caches its (cheap) executables too
+                from pita_tpu.sampler.integrator import mala
+
+                t0 = time.perf_counter()
+                xw = jax.random.normal(key, (B, self.dim), jnp.float32) * 0.1
+                _, acc = mala(
+                    key, xw, target, num_steps=icfg.post_mcmc_steps,
+                    dt_init=icfg.dt_negative_time,
+                    adaptive=icfg.adaptive_mcmc,
+                    mean_free=icfg.should_mean_free
+                    and getattr(target, "is_molecule", False),
+                )
+                jax.block_until_ready(acc)
+                timings[label + "/mala"] = round(time.perf_counter() - t0, 1)
+        return timings
+
     # ------------------------------------------------------------ evaluation
 
     def eval_step_losses(self, prefix: str = "val") -> dict:
@@ -755,63 +947,25 @@ class EnergyTempTrainer:
 
         # buffer-fill quality floor: refuse a collapsed transition fill and
         # retry with escalated settings (see TrainerConfig.transition_min_
-        # fill_ess); the best attempt by effective sample count wins
+        # fill_ess); the best attempt by effective sample count wins. The
+        # loop itself is the module-level fill_with_quality_floor so the
+        # sharded sampler exercises the identical policy (SURVEY §2.9 — the
+        # multichip dryrun drives it over an 8-device mesh).
         fill_floor = cfg.transition_min_fill_ess if anneal_to_lower else None
-        n_request, fill_attempt, fill_ess_v, best = num_samples, 0, None, None
+        (res, res_nores, energies, forces), fill_info, fill_cfg = (
+            fill_with_quality_floor(
+                _sample_and_energies,
+                self.integrator_cfg,
+                cfg,
+                num_samples,
+                fill_floor=fill_floor,
+                fill_cfg=fill_cfg,
+            )
+        )
         metrics = {}
-        while True:
-            res, res_nores, energies, forces = _retry_on_runtime_error(
-                lambda n=n_request, f=fill_cfg: _sample_and_energies(n, f)
-            )
-            if fill_floor is None:
-                break
-            used_cfg = fill_cfg or self.integrator_cfg
-            lw_f = min(
-                used_cfg.end_resampling_step, used_cfg.num_integration_steps
-            ) - 1
-            fill_ess_v = float(
-                effective_sample_size(res_nores.logweights[lw_f], normalize=True)
-            )
-            eff = fill_ess_v * res.samples.shape[0]
-            if best is None or eff > best[0]:
-                best = (eff, fill_ess_v, res, res_nores, energies, forces)
-            if (
-                fill_ess_v >= fill_floor
-                or eff >= cfg.transition_fill_effective_floor
-                or fill_attempt >= cfg.transition_fill_max_retries
-            ):
-                break
-            fill_attempt += 1
-            base_fill = fill_cfg or self.integrator_cfg
-            # escalation = ESS-triggered (adaptive-SMC) resampling + more
-            # MALA + more chains. The trigger is regime-dependent (oracle
-            # collapse sweep, docs/transition_fill_study.json): it REGRESSES
-            # parity at raw fill ESS >= ~0.04 but wins decisively at ~0.01
-            # (occupancy TV 0.32 vs 0.52) — and the retry only fires below
-            # the floor, i.e. exactly in the regime where it wins.
-            fill_cfg = base_fill.replace(
-                post_mcmc_steps=base_fill.post_mcmc_steps
-                + cfg.transition_fill_extra_mcmc,
-                ess_resampling_threshold=(
-                    base_fill.ess_resampling_threshold
-                    or cfg.transition_ess_threshold
-                    or 0.3
-                ),
-            )
-            n_request = int(n_request * cfg.transition_fill_chain_multiplier)
-            print(
-                f"[trainer] transition fill ESS {fill_ess_v:.4f} below floor "
-                f"{fill_floor}; retry {fill_attempt} with {n_request} chains, "
-                f"{fill_cfg.post_mcmc_steps} MALA steps"
-            )
-        if best is not None:
-            eff, fill_ess_v, res, res_nores, energies, forces = best
-            metrics[f"{prefix}/fill_ess"] = fill_ess_v
-            metrics[f"{prefix}/fill_effective_samples"] = eff
-            metrics[f"{prefix}/fill_attempts"] = float(fill_attempt)
-            metrics[f"{prefix}/fill_below_floor"] = float(
-                fill_ess_v < fill_floor
-                and eff < cfg.transition_fill_effective_floor
+        if fill_info:
+            metrics.update(
+                {f"{prefix}/{k}": v for k, v in fill_info.items()}
             )
         samples = res.samples
         if anneal_to_lower:

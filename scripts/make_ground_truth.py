@@ -52,7 +52,7 @@ SPECS = {
 }
 
 
-def main(groups, missing_only=False, restore_missing=False):
+def main(groups, missing_only=False, restore_missing=False, no_train=False):
     from pita_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
@@ -61,6 +61,11 @@ def main(groups, missing_only=False, restore_missing=False):
 
     for group in groups:
         for n_part, T, which, n in SPECS[group]:
+            if no_train and which == "train":
+                # resumed runs restore their buffers from the checkpoint and
+                # never touch the train set — skip the most expensive asset
+                print(f"skip LJ{n_part}_temp_{T:.1f}_train (--no-train)")
+                continue
             fname = f"LJ{n_part}_temp_{T:.1f}_{which}.npy"
             path = os.path.join(DATA_DIR, fname)
             diag_path = path.replace(".npy", ".rhat.json")
@@ -128,9 +133,11 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     missing_only = "--missing-only" in argv
     restore_missing = "--restore-missing" in argv
+    no_train = "--no-train" in argv
     argv = [a for a in argv if not a.startswith("--")]
     main(
         argv or ["lj13", "lj55"],
         missing_only=missing_only,
         restore_missing=restore_missing,
+        no_train=no_train,
     )

@@ -15,11 +15,11 @@
 # budget) — the cold rungs and their buffers are re-created from scratch.
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p runs_r4
-[ -d runs_r4/lj55_ckpt ] || cp -r runs_r2/lj55_ckpt runs_r4/lj55_ckpt
+mkdir -p runs_r5
+[ -d runs_r5/lj55_ckpt ] || cp -r runs_r2/lj55_ckpt runs_r5/lj55_ckpt
 MAX_ATTEMPTS="${MAX_ATTEMPTS:-40}" RETRY_SLEEP=240 \
-  bash scripts/run_resumable.sh experiment=lj55 out_dir=runs_r4 \
-  ckpt_path=runs_r4/lj55_ckpt energy.data_dir=data \
+  bash scripts/run_resumable.sh experiment=lj55 out_dir=runs_r5 \
+  ckpt_path=runs_r5/lj55_ckpt energy.data_dir=data \
   time_checkpoint_seconds=3600 \
   integrator.divergence_update_interval=10 \
   trainer.make_plots=true \
