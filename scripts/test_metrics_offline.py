@@ -26,6 +26,8 @@ import os
 import re
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def main(argv):
     from pita_tpu.utils.platform import honor_platform_env

@@ -94,6 +94,11 @@ def test_synthesize_keeps_best_rung_per_mode(tmp_path):
     out2, _ = bench._synthesize(p2, time.time(), "")
     assert out2["details"]["headline_raw_rate"] == 46600.0
     assert out2["details"]["headline_chains"] == 512
+    # VERDICT r4 next #6: every timed rung is auditable inside the artifact
+    # as <mode>@<chains>, not just the winning rung
+    for out_i in (out, out2):
+        assert out_i["details"]["hutch_ess_k10@512"] == 46600.0
+        assert out_i["details"]["hutch_ess_k10@2048"] == 34900.0
 
 
 def test_synthesize_gate_failure_falls_back_to_slowest(tmp_path):

@@ -152,6 +152,45 @@ def test_csv_logger_appends_on_resume(tmp_path):
     assert [r["step"] for r in rows] == ["0"] and rows[0]["loss"] == "9.0"
 
 
+def test_csv_logger_launch_id_disambiguates_relaunches(tmp_path):
+    """VERDICT r4 next #7: repeated cold launches appended into one CSV made
+    two bit-identical step-0 epochs look like progress (runs_r4/aldp). Every
+    process gets a launch id; resumed rows carry a NEW id."""
+    import csv as _csv
+
+    from pita_tpu.io.logging import CSVLogger
+
+    lg = CSVLogger(str(tmp_path))
+    assert lg.launch_id == 0
+    lg.log_metrics({"loss": 1.0}, step=0)
+    # relaunch (resume): same step logged again must be attributable
+    lg2 = CSVLogger(str(tmp_path), resume=True)
+    assert lg2.launch_id == 1
+    lg2.log_metrics({"loss": 1.0}, step=0)
+    lg3 = CSVLogger(str(tmp_path), resume=True)
+    assert lg3.launch_id == 2
+    lg3.log_metrics({"loss": 0.5}, step=1)
+    with open(lg3.path, newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert [(r["step"], r["launch"]) for r in rows] == [
+        ("0", "0"), ("0", "1"), ("1", "2")
+    ]
+    # legacy CSVs without the column resume cleanly (column appears, old
+    # rows stay blank, new launch id = 1)
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    with open(legacy / "metrics.csv", "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["step", "loss"])
+        w.writeheader()
+        w.writerow({"step": 0, "loss": 2.0})
+    lg4 = CSVLogger(str(legacy), resume=True)
+    assert lg4.launch_id == 1
+    lg4.log_metrics({"loss": 1.5}, step=1)
+    with open(lg4.path, newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert rows[0]["launch"] == "" and rows[1]["launch"] == "1"
+
+
 def test_nested_tuple_override_coercion():
     """Nested sequences in CLI overrides (e.g. temps_to_anneal_test pairs)."""
     from pita_tpu.configs import parse_overrides

@@ -231,3 +231,45 @@ def test_segmented_integration_matches_single_dispatch(rng):
     np.testing.assert_array_equal(
         np.asarray(res_full.num_unique), np.asarray(res_seg.num_unique)
     )
+
+
+def test_compile_only_prewarms_without_running(rng):
+    """compile_only AOT-compiles the segment program and returns None; a
+    subsequent real run must reuse the cached executable (same cfg/B/D) and
+    produce results identical to a never-prewarmed run (prewarm must not
+    perturb the segment cache semantics). Non-segmented configs reject
+    compile_only loudly."""
+    import pytest
+
+    from pita_tpu.sampler.integrator import _SEGMENT_CACHE
+
+    cfg = IntegratorConfig(
+        num_integration_steps=30, end_resampling_step=25,
+        resampling_interval=4, segment_size=10,
+    )
+    _SEGMENT_CACHE.clear()
+    anneal = ConstantAnnealingSchedule(annealing_factor=2.0)
+    score, energy, target = AnalyticScore(), AnalyticEnergy(), GaussianTarget()
+    x1 = jax.random.normal(rng, (64, DIM))
+    out = integrate_sde(
+        rng, x1, score, energy, {}, {}, SCHED, anneal, target, 1.0, cfg,
+        compile_only=True,
+    )
+    assert out is None
+    assert len(_SEGMENT_CACHE) == 1  # the jitted segment fn is cached
+    res = integrate_sde(
+        rng, x1, score, energy, {}, {}, SCHED, anneal, target, 1.0, cfg
+    )
+    assert len(_SEGMENT_CACHE) == 1  # the real run reused the prewarmed entry
+    _SEGMENT_CACHE.clear()
+    res_fresh = integrate_sde(
+        rng, x1, score, energy, {}, {}, SCHED, anneal, target, 1.0, cfg
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.samples), np.asarray(res_fresh.samples)
+    )
+    with pytest.raises(ValueError, match="segmented"):
+        integrate_sde(
+            rng, x1, score, energy, {}, {}, SCHED, anneal, target, 1.0,
+            cfg.replace(segment_size=None), compile_only=True,
+        )
