@@ -304,14 +304,31 @@ def worker(cfg):
         )
 
     def quality_mode(name):
-        # single full run (no warmup rep — we need the samples, not a rate)
-        run = make_run(quality_cfg(name))
+        # single full run (no warmup rep — we need the samples, not a rate).
+        # The EXACT arm runs segmented (bit-comparable results, tested):
+        # a cold 400-step exact monolith compile has wedged the tunneled
+        # worker (round-5 stage-0a incident), and this arm is the one most
+        # likely to compile cold in a driver window. Other modes keep the
+        # monolith program — it is already warm in the persistent cache.
+        # No outer jit in segmented mode — it manages its own per-segment jit.
         t0 = time.perf_counter()
+        if name.startswith("exact"):
+            cfg_q = quality_cfg(name).replace(segment_size=100)
 
-        def go():
-            r = run(jax.random.fold_in(key, 5), x1q)
-            jax.block_until_ready(r.samples)
-            return r
+            def go():
+                r = integrate_sde(
+                    jax.random.fold_in(key, 5), x1q, score, energy, ps, pe,
+                    sched, anneal, target, beta, cfg_q,
+                )
+                jax.block_until_ready(r.samples)
+                return r
+        else:
+            run = make_run(quality_cfg(name))
+
+            def go():
+                r = run(jax.random.fold_in(key, 5), x1q)
+                jax.block_until_ready(r.samples)
+                return r
 
         res = _retry(go, f"quality:{name}")
         wall = time.perf_counter() - t0

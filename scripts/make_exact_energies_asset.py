@@ -81,7 +81,12 @@ def main():
     anneal = ConstantAnnealingSchedule(annealing_factor=gamma)
     scale = float(jnp.sqrt(sched.h(jnp.asarray(1.0)) / gamma))
 
-    # bench.py quality_cfg, exact mode (no divergence shortcuts)
+    # bench.py quality_cfg, exact mode (no divergence shortcuts).
+    # segment_size=100: host-level segmentation is bit-identical to the
+    # single-dispatch program (test_segmented_integration_matches_single_
+    # dispatch) but compiles a 4x smaller executable — the tunneled runtime
+    # compiles server-side and a 400-step exact monolith has been observed
+    # to exceed a 20-min window cold.
     cfg = IntegratorConfig(
         num_integration_steps=N_STEPS,
         end_resampling_step=int(N_STEPS * 0.9),
@@ -92,20 +97,20 @@ def main():
         dt_negative_time=5e-5,
         should_mean_free=True,
         divergence_chunk_size=min(256, N_CHAINS),
+        segment_size=100,
     )
     # bench.py seeds: x1q from fold_in(key, 4), run key fold_in(key, 5)
     x1 = (
         jax.random.normal(jax.random.fold_in(key, 4), (N_CHAINS, target.dim))
         * scale
     )
-    run = jax.jit(
-        lambda k, x: integrate_sde(
-            k, x, score, energy, ps, pe, sched, anneal, target,
-            jnp.asarray(1.0), cfg,
-        )
-    )
+    # no outer jit: segmented mode manages its own per-segment jit (an outer
+    # jit would re-inline the host segmentation loop into one huge program)
     t0 = time.perf_counter()
-    res = run(jax.random.fold_in(key, 5), x1)
+    res = integrate_sde(
+        jax.random.fold_in(key, 5), x1, score, energy, ps, pe, sched, anneal,
+        target, jnp.asarray(1.0), cfg,
+    )
     jax.block_until_ready(res.samples)
     wall = time.perf_counter() - t0
 
