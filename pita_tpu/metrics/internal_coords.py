@@ -88,6 +88,12 @@ def evaluate_internal_coords(target, samples, data, n_bins: int = 200,
     target: an ALPEnergy-like object (topology with bonds; force-field torsion
     quads). samples/data: (B, dim) flat coordinates.
     """
+    if len(samples) == 0 or len(data) == 0:
+        # chirality correction can reject every generated sample early in
+        # training (alp.log_on_epoch_end keeps only correctable ones) — an
+        # empty set has no IC marginals; skip rather than crash the eval
+        print("internal-coords KLD skipped: empty sample/data set")
+        return {}
     x_g = np.asarray(samples).reshape(len(samples), -1, 3)
     x_d = np.asarray(data).reshape(len(data), -1, 3)
     # bins scale with the sample count: the eps-floored histogram KL is badly

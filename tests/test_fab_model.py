@@ -100,3 +100,19 @@ def test_internal_coord_kld_zero_for_same_dist():
     c = x0 + rng.normal(size=(800, t.dim)) * 0.012
     m_diff = evaluate_internal_coords(t, c, b, prefix="ic")
     assert m_diff["ic/kld_mean"] > 2 * m_same["ic/kld_mean"]
+
+
+def test_internal_coord_kld_empty_samples_skips():
+    # chirality correction can reject every generated sample early in
+    # training; the IC evaluation must skip, not crash (al3 debug=short
+    # regression: reshape of size-0 array)
+    from pita_tpu.metrics.internal_coords import evaluate_internal_coords
+    from pita_tpu.targets.alp import ALPEnergy
+
+    t = ALPEnergy("aldp")
+    x0 = t.initial_structure().reshape(1, -1)
+    rng = np.random.default_rng(0)
+    b = x0 + rng.normal(size=(64, t.dim)) * 0.003
+    empty = np.zeros((0, t.dim))
+    assert evaluate_internal_coords(t, empty, b, prefix="ic") == {}
+    assert evaluate_internal_coords(t, b, empty, prefix="ic") == {}
