@@ -52,7 +52,8 @@ SPECS = {
 }
 
 
-def main(groups, missing_only=False, restore_missing=False, no_train=False):
+def main(groups, missing_only=False, restore_missing=False, no_train=False,
+         temps=None, which_filter=None):
     from pita_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
@@ -61,6 +62,12 @@ def main(groups, missing_only=False, restore_missing=False, no_train=False):
 
     for group in groups:
         for n_part, T, which, n in SPECS[group]:
+            # --temps / --which: restore only the sets a scoped run reads —
+            # on a short chip window the full 8-set LJ55 restore does not fit
+            if temps is not None and not any(abs(T - t) < 1e-9 for t in temps):
+                continue
+            if which_filter is not None and which not in which_filter:
+                continue
             if no_train and which == "train":
                 # resumed runs restore their buffers from the checkpoint and
                 # never touch the train set — skip the most expensive asset
@@ -154,10 +161,19 @@ if __name__ == "__main__":
     missing_only = "--missing-only" in argv
     restore_missing = "--restore-missing" in argv
     no_train = "--no-train" in argv
+    temps = None
+    which_filter = None
+    for a in argv:
+        if a.startswith("--temps="):
+            temps = [float(t) for t in a.split("=", 1)[1].split(",") if t]
+        elif a.startswith("--which="):
+            which_filter = set(a.split("=", 1)[1].split(","))
     argv = [a for a in argv if not a.startswith("--")]
     main(
         argv or ["lj13", "lj55"],
         missing_only=missing_only,
         restore_missing=restore_missing,
         no_train=no_train,
+        temps=temps,
+        which_filter=which_filter,
     )
